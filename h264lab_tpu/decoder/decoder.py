@@ -1,0 +1,488 @@
+"""Independent scalar H.264 baseline decoder (numpy) — test infrastructure.
+
+Decodes Annex-B streams produced by this framework *and* by the C
+reference encoder, providing the validation triangle described in
+SURVEY.md §4: encoder recon must match decoder output bit-exactly, and the
+decoder itself is validated against the reference encoder's streams.
+
+Supported: baseline profile, CAVLC, I slices (Intra_16x16 + Intra_4x4) and
+P slices (16x16/16x8/8x16/8x8 partitions, qpel, P_Skip), deblocking.
+Implemented incrementally; unsupported syntax raises.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from h264lab_tpu.bitstream.nal import split_annexb, unescape_rbsp
+from h264lab_tpu.decoder.bitreader import BitReader
+from h264lab_tpu.decoder import cavlc_dec
+from h264lab_tpu.ops.tables import (
+    CBP_TO_CODENUM, QPC_FROM_QPY, BLOCK_SCAN_4x4, DEQUANT_V, POS_CLASS,
+)
+
+# inverse of Table 9-4 mapping: codenum -> cbp
+CODENUM_TO_CBP_INTRA = np.zeros(48, dtype=np.int32)
+CODENUM_TO_CBP_INTER = np.zeros(48, dtype=np.int32)
+for _cbp in range(48):
+    CODENUM_TO_CBP_INTRA[CBP_TO_CODENUM[_cbp][0]] = _cbp
+    CODENUM_TO_CBP_INTER[CBP_TO_CODENUM[_cbp][1]] = _cbp
+
+
+@dataclasses.dataclass
+class Sps:
+    profile_idc: int
+    level_idc: int
+    sps_id: int
+    log2_max_frame_num: int
+    poc_type: int
+    num_ref_frames: int
+    mb_width: int
+    mb_height: int
+    crop: tuple
+
+    @property
+    def width(self):
+        return self.mb_width * 16 - 2 * (self.crop[0] + self.crop[1])
+
+    @property
+    def height(self):
+        return self.mb_height * 16 - 2 * (self.crop[2] + self.crop[3])
+
+
+@dataclasses.dataclass
+class Pps:
+    pps_id: int
+    sps_id: int
+    pic_init_qp: int
+    chroma_qp_index_offset: int
+    deblocking_filter_control_present: bool
+
+
+def parse_sps(rbsp: bytes) -> Sps:
+    br = BitReader(rbsp)
+    profile = br.u(8)
+    br.u(8)  # constraints
+    level = br.u(8)
+    sps_id = br.ue()
+    if profile in (100, 110, 122, 244, 44, 83, 86, 118, 128):
+        chroma_format = br.ue()
+        assert chroma_format == 1
+        br.ue()  # bit_depth_luma
+        br.ue()  # bit_depth_chroma
+        br.u1()  # transform bypass
+        assert br.u1() == 0  # scaling matrix
+    log2_mfn = br.ue() + 4
+    poc_type = br.ue()
+    if poc_type == 0:
+        br.ue()
+    elif poc_type == 1:
+        raise NotImplementedError("poc_type 1")
+    num_ref = br.ue()
+    br.u1()  # gaps allowed
+    mbw = br.ue() + 1
+    mbh = br.ue() + 1
+    frame_mbs_only = br.u1()
+    assert frame_mbs_only == 1
+    br.u1()  # direct_8x8
+    crop = (0, 0, 0, 0)
+    if br.u1():
+        crop = (br.ue(), br.ue(), br.ue(), br.ue())
+    vui = br.u1()
+    return Sps(profile, level, sps_id, log2_mfn, poc_type, num_ref,
+               mbw, mbh, crop)
+
+
+def parse_pps(rbsp: bytes) -> Pps:
+    br = BitReader(rbsp)
+    pps_id = br.ue()
+    sps_id = br.ue()
+    assert br.u1() == 0, "CABAC unsupported"
+    br.u1()  # pic_order_present
+    assert br.ue() == 0, "slice groups unsupported"
+    br.ue()  # num_ref_idx_l0
+    br.ue()  # num_ref_idx_l1
+    assert br.u1() == 0, "weighted pred"
+    br.u(2)
+    pic_init_qp = br.se() + 26
+    br.se()  # qs
+    cqo = br.se()
+    dbf = br.u1()
+    br.u1()  # constrained intra
+    br.u1()  # redundant
+    return Pps(pps_id, sps_id, pic_init_qp, cqo, bool(dbf))
+
+
+def clip255(x):
+    return np.clip(x, 0, 255)
+
+
+def idct4x4_core(d: np.ndarray) -> np.ndarray:
+    tmp = np.zeros((4, 4), dtype=np.int64)
+    d = d.astype(np.int64)
+    for i in range(4):
+        d0, d1, d2, d3 = d[i]
+        e0, e1 = d0 + d2, d0 - d2
+        e2, e3 = (d1 >> 1) - d3, d1 + (d3 >> 1)
+        tmp[i] = [e0 + e3, e1 + e2, e1 - e2, e0 - e3]
+    out = np.zeros((4, 4), dtype=np.int64)
+    for j in range(4):
+        f0, f1, f2, f3 = tmp[0, j], tmp[1, j], tmp[2, j], tmp[3, j]
+        g0, g1 = f0 + f2, f0 - f2
+        g2, g3 = (f1 >> 1) - f3, f1 + (f3 >> 1)
+        out[:, j] = [g0 + g3, g1 + g2, g1 - g2, g0 - g3]
+    return (out + 32) >> 6
+
+
+def dequant4x4(levels: np.ndarray, qp: int) -> np.ndarray:
+    v = DEQUANT_V[qp % 6][POS_CLASS].reshape(4, 4).astype(np.int64)
+    return (levels.astype(np.int64) * v) << (qp // 6)
+
+
+H4 = np.array([[1, 1, 1, 1], [1, 1, -1, -1], [1, -1, -1, 1], [1, -1, 1, -1]],
+              dtype=np.int64)
+
+
+def dequant_luma_dc(levels: np.ndarray, qp: int) -> np.ndarray:
+    f = H4 @ levels.astype(np.int64) @ H4.T
+    v00 = int(DEQUANT_V[qp % 6, 0])
+    div6 = qp // 6
+    if div6 >= 2:
+        return (f * v00) << (div6 - 2)
+    return (f * v00 + (1 << (1 - div6))) >> (2 - div6)
+
+
+H2 = np.array([[1, 1], [1, -1]], dtype=np.int64)
+
+
+def dequant_chroma_dc(levels: np.ndarray, qpc: int) -> np.ndarray:
+    f = H2 @ levels.astype(np.int64) @ H2.T
+    v00 = int(DEQUANT_V[qpc % 6, 0])
+    return ((f * v00) << (qpc // 6)) >> 5
+
+
+class DecodedFrame:
+    def __init__(self, sps: Sps):
+        self.y = np.zeros((sps.mb_height * 16, sps.mb_width * 16), np.uint8)
+        self.u = np.zeros((sps.mb_height * 8, sps.mb_width * 8), np.uint8)
+        self.v = np.zeros((sps.mb_height * 8, sps.mb_width * 8), np.uint8)
+
+    def cropped(self, sps: Sps):
+        w, h = sps.width, sps.height
+        return (self.y[:h, :w], self.u[:h // 2, :w // 2],
+                self.v[:h // 2, :w // 2])
+
+
+class H264Decoder:
+    """Stateful stream decoder. Feed NAL units via `decode(stream)`."""
+
+    def __init__(self):
+        self.sps: Sps | None = None
+        self.pps: Pps | None = None
+        self.frames: list[DecodedFrame] = []
+        self._cur: DecodedFrame | None = None
+        # per-picture context
+        self._nnz_luma = None       # (4*mbh, 4*mbw)
+        self._nnz_chroma = None     # (2, 2*mbh, 2*mbw)
+        self._mb_intra = None       # (mbh, mbw) bool
+
+    # ---------------- public ----------------
+    def decode(self, stream: bytes) -> list[DecodedFrame]:
+        for nal in split_annexb(stream):
+            header = nal[0]
+            nal_type = header & 0x1F
+            rbsp = unescape_rbsp(nal[1:])
+            if nal_type == 7:
+                self.sps = parse_sps(rbsp)
+            elif nal_type == 8:
+                self.pps = parse_pps(rbsp)
+            elif nal_type in (1, 5):
+                self._decode_slice(rbsp, nal_type == 5, (header >> 5) & 3)
+            elif nal_type in (6, 9, 12):
+                continue  # SEI / AUD / filler
+            else:
+                raise NotImplementedError(f"NAL type {nal_type}")
+        return self.frames
+
+    # ---------------- slice ----------------
+    def _decode_slice(self, rbsp: bytes, is_idr: bool, nal_ref_idc: int):
+        sps, pps = self.sps, self.pps
+        br = BitReader(rbsp)
+        first_mb = br.ue()
+        slice_type = br.ue()
+        if slice_type >= 5:
+            slice_type -= 5
+        br.ue()  # pps id
+        br.u(sps.log2_max_frame_num)  # frame_num
+        if is_idr:
+            br.ue()  # idr_pic_id
+        if sps.poc_type == 0:
+            raise NotImplementedError("poc_type 0 slice bits")
+        if slice_type == 0:  # P
+            num_ref_override = br.u1()
+            if num_ref_override:
+                br.ue()
+            if br.u1():  # ref_pic_list_modification_flag_l0
+                while True:
+                    idc = br.ue()
+                    if idc == 3:
+                        break
+                    br.ue()
+        if nal_ref_idc > 0:  # dec_ref_pic_marking
+            if is_idr:
+                br.u1()  # no_output_of_prior
+                br.u1()  # long_term_reference_flag
+            else:
+                if br.u1():  # adaptive marking
+                    while True:
+                        op = br.ue()
+                        if op == 0:
+                            break
+                        if op in (1, 2, 4, 6):
+                            br.ue()
+                        elif op == 3:
+                            br.ue()
+                            br.ue()
+        slice_qp = pps.pic_init_qp + br.se()
+        disable_deblock = 0
+        if pps.deblocking_filter_control_present:
+            disable_deblock = br.ue()
+            if disable_deblock != 1:
+                br.se()
+                br.se()
+
+        if first_mb == 0:
+            self._start_picture()
+        self._parse_slice_data(br, slice_type, first_mb, slice_qp,
+                               disable_deblock)
+
+    def _start_picture(self):
+        sps = self.sps
+        self._cur = DecodedFrame(sps)
+        self._nnz_luma = np.zeros((4 * sps.mb_height, 4 * sps.mb_width),
+                                  np.int32)
+        self._nnz_chroma = np.zeros((2, 2 * sps.mb_height, 2 * sps.mb_width),
+                                    np.int32)
+        self._mb_intra = np.zeros((sps.mb_height, sps.mb_width), bool)
+        self.frames.append(self._cur)
+
+    # ---------------- macroblocks ----------------
+    def _parse_slice_data(self, br: BitReader, slice_type: int,
+                          first_mb: int, slice_qp: int, disable_deblock: int):
+        sps = self.sps
+        nmb = sps.mb_width * sps.mb_height
+        qp = slice_qp
+        mb = first_mb
+        # slice-local availability: predictors can't cross slice start
+        slice_start = first_mb
+        while mb < nmb:
+            if slice_type == 2:  # I slice
+                mb_type = br.ue()
+                qp = self._decode_intra_mb(br, mb, mb_type, qp, slice_start)
+                mb += 1
+            else:
+                raise NotImplementedError("P slice decoding arrives with "
+                                          "inter pipeline")
+            if not br.more_rbsp_data():
+                break
+
+    def _nc_luma(self, by: int, bx: int, slice_start_mb: int) -> int:
+        """nC context for luma block at block-grid (by, bx)."""
+        sps = self.sps
+        avail_a = bx > 0
+        avail_b = by > 0
+        na = self._nnz_luma[by, bx - 1] if avail_a else 0
+        nb = self._nnz_luma[by - 1, bx] if avail_b else 0
+        if avail_a and avail_b:
+            return (int(na) + int(nb) + 1) >> 1
+        if avail_a:
+            return int(na)
+        if avail_b:
+            return int(nb)
+        return 0
+
+    def _nc_chroma(self, plane: int, by: int, bx: int) -> int:
+        avail_a = bx > 0
+        avail_b = by > 0
+        na = self._nnz_chroma[plane, by, bx - 1] if avail_a else 0
+        nb = self._nnz_chroma[plane, by - 1, bx] if avail_b else 0
+        if avail_a and avail_b:
+            return (int(na) + int(nb) + 1) >> 1
+        if avail_a:
+            return int(na)
+        if avail_b:
+            return int(nb)
+        return 0
+
+    def _decode_intra_mb(self, br: BitReader, mb: int, mb_type: int,
+                         qp: int, slice_start_mb: int) -> int:
+        sps, pps = self.sps, self.pps
+        mbw = sps.mb_width
+        r, c = divmod(mb, mbw)
+        if mb_type == 0:
+            raise NotImplementedError("Intra_4x4 decode arrives next")
+        if not (1 <= mb_type <= 24):
+            raise NotImplementedError(f"I mb_type {mb_type}")
+        t = mb_type - 1
+        pred_mode = t % 4
+        cbp_chroma = (t // 4) % 3
+        cbp_luma = 15 if t >= 12 else 0
+
+        chroma_mode = br.ue()
+        dqp = br.se()
+        qp = (qp + dqp) % 52
+        qpc = int(QPC_FROM_QPY[np.clip(qp + pps.chroma_qp_index_offset, 0, 51)])
+
+        avail_top = r > 0
+        avail_left = c > 0
+
+        # ---- luma prediction ----
+        y = self._cur.y
+        top = y[16 * r - 1, 16 * c:16 * c + 16].astype(np.int32) if avail_top else None
+        left = y[16 * r:16 * r + 16, 16 * c - 1].astype(np.int32) if avail_left else None
+        pred = self._pred16(pred_mode, top, left)
+
+        # ---- luma residual ----
+        # DC block
+        nc = self._nc_luma(4 * r, 4 * c, slice_start_mb)
+        dc_scan, _ = cavlc_dec.decode_block(br, nc, 16)
+        dc_raster = np.array(cavlc_dec.scan_to_raster4x4(dc_scan),
+                             np.int64).reshape(4, 4)
+        dc_deq = dequant_luma_dc(dc_raster, qp)
+
+        recon = np.zeros((16, 16), np.int64)
+        ac = np.zeros((16, 16), np.int64)  # per block raster
+        nnz_store = np.zeros((4, 4), np.int32)
+        if cbp_luma:
+            blocks = {}
+            for k in BLOCK_SCAN_4x4:
+                bb, bc = divmod(int(k), 4)
+                nc = self._nc_luma(4 * r + bb, 4 * c + bc, slice_start_mb)
+                lv_scan, total = cavlc_dec.decode_block(br, nc, 15)
+                nnz_store[bb, bc] = total
+                self._nnz_luma[4 * r + bb, 4 * c + bc] = total
+                lv = np.array(cavlc_dec.scan_to_raster4x4([0] + lv_scan),
+                              np.int64).reshape(4, 4)
+                blocks[int(k)] = lv
+        else:
+            blocks = {k: np.zeros((4, 4), np.int64) for k in range(16)}
+            self._nnz_luma[4 * r:4 * r + 4, 4 * c:4 * c + 4] = 0
+
+        for k in range(16):
+            bb, bc = divmod(k, 4)
+            deq = dequant4x4(blocks[k], qp)
+            deq[0, 0] = dc_deq[bb, bc]
+            res = idct4x4_core(deq)
+            py = pred[4 * bb:4 * bb + 4, 4 * bc:4 * bc + 4]
+            recon[4 * bb:4 * bb + 4, 4 * bc:4 * bc + 4] = clip255(res + py)
+        y[16 * r:16 * r + 16, 16 * c:16 * c + 16] = recon.astype(np.uint8)
+
+        # ---- chroma ----
+        for plane_idx, plane in enumerate((self._cur.u, self._cur.v)):
+            ctop = (plane[8 * r - 1, 8 * c:8 * c + 8].astype(np.int32)
+                    if avail_top else None)
+            cleft = (plane[8 * r:8 * r + 8, 8 * c - 1].astype(np.int32)
+                     if avail_left else None)
+            cpred = self._pred_chroma(chroma_mode, ctop, cleft)
+            setattr(self, f"_cpred{plane_idx}", cpred)
+
+        # chroma residuals: DC for both planes, then AC for both planes
+        cdc_deq = []
+        for plane_idx in range(2):
+            if cbp_chroma >= 1:
+                lv_scan, _ = cavlc_dec.decode_block(br, -1, 4)
+                lv = np.array(lv_scan, np.int64).reshape(2, 2)
+            else:
+                lv = np.zeros((2, 2), np.int64)
+            cdc_deq.append(dequant_chroma_dc(lv, qpc))
+        for plane_idx, plane in enumerate((self._cur.u, self._cur.v)):
+            cpred = getattr(self, f"_cpred{plane_idx}")
+            crecon = np.zeros((8, 8), np.int64)
+            for k in range(4):
+                bb, bc = divmod(k, 2)
+                if cbp_chroma == 2:
+                    nc = self._nc_chroma(plane_idx, 2 * r + bb, 2 * c + bc)
+                    lv_scan, total = cavlc_dec.decode_block(br, nc, 15)
+                    self._nnz_chroma[plane_idx, 2 * r + bb, 2 * c + bc] = total
+                    lv = np.array(cavlc_dec.scan_to_raster4x4([0] + lv_scan),
+                                  np.int64).reshape(4, 4)
+                else:
+                    self._nnz_chroma[plane_idx, 2 * r + bb, 2 * c + bc] = 0
+                    lv = np.zeros((4, 4), np.int64)
+                deq = dequant4x4(lv, qpc)
+                deq[0, 0] = cdc_deq[plane_idx][bb, bc]
+                res = idct4x4_core(deq)
+                pc = cpred[4 * bb:4 * bb + 4, 4 * bc:4 * bc + 4]
+                crecon[4 * bb:4 * bb + 4, 4 * bc:4 * bc + 4] = clip255(res + pc)
+            plane[8 * r:8 * r + 8, 8 * c:8 * c + 8] = crecon.astype(np.uint8)
+
+        self._mb_intra[r, c] = True
+        return qp
+
+    # ---------------- predictions ----------------
+    @staticmethod
+    def _pred16(mode: int, top, left) -> np.ndarray:
+        if mode == 0:  # V
+            assert top is not None
+            return np.tile(top, (16, 1))
+        if mode == 1:  # H
+            assert left is not None
+            return np.tile(left[:, None], (1, 16))
+        if mode == 2:  # DC
+            if top is not None and left is not None:
+                dc = (int(top.sum()) + int(left.sum()) + 16) >> 5
+            elif top is not None:
+                dc = (int(top.sum()) + 8) >> 4
+            elif left is not None:
+                dc = (int(left.sum()) + 8) >> 4
+            else:
+                dc = 128
+            return np.full((16, 16), dc, np.int32)
+        raise NotImplementedError("I16 plane mode")
+
+    @staticmethod
+    def _pred_chroma(mode: int, top, left) -> np.ndarray:
+        if mode == 1:  # H
+            assert left is not None
+            return np.tile(left[:, None], (1, 8))
+        if mode == 2:  # V
+            assert top is not None
+            return np.tile(top, (8, 1))
+        if mode == 0:  # DC per quadrant
+            out = np.zeros((8, 8), np.int32)
+
+            def seg(arr, lo):
+                return int(arr[lo:lo + 4].sum()) if arr is not None else None
+
+            st0, st1 = seg(top, 0), seg(top, 4)
+            sl0, sl1 = seg(left, 0), seg(left, 4)
+
+            def q(sum_t, sum_l, prefer):
+                if prefer == "both":
+                    if sum_t is not None and sum_l is not None:
+                        return (sum_t + sum_l + 4) >> 3
+                    if sum_t is not None:
+                        return (sum_t + 2) >> 2
+                    if sum_l is not None:
+                        return (sum_l + 2) >> 2
+                    return 128
+                if prefer == "top":
+                    if sum_t is not None:
+                        return (sum_t + 2) >> 2
+                    if sum_l is not None:
+                        return (sum_l + 2) >> 2
+                    return 128
+                if sum_l is not None:
+                    return (sum_l + 2) >> 2
+                if sum_t is not None:
+                    return (sum_t + 2) >> 2
+                return 128
+
+            out[0:4, 0:4] = q(st0, sl0, "both")
+            out[0:4, 4:8] = q(st1, sl0, "top")
+            out[4:8, 0:4] = q(st0, sl1, "left")
+            out[4:8, 4:8] = q(st1, sl1, "both")
+            return out
+        raise NotImplementedError("chroma plane mode")
