@@ -99,6 +99,22 @@ class BitWriter:
         self._lens[self._n:self._n + k] = lens
         self._n += k
 
+    def append_bits_bytes(self, data: bytes, nbits: int):
+        """Append a pre-packed MSB-first bit payload of `nbits` bits
+        (e.g. device-packed CAVLC words) at the current bit position."""
+        if nbits == 0:
+            return
+        pad = (-len(data)) % 4
+        arr = np.frombuffer(data + b"\x00" * pad, dtype=">u4").astype(np.uint32)
+        n_full, rem = divmod(nbits, 32)
+        k = n_full + (1 if rem else 0)
+        vals = arr[:k].copy()
+        lens = np.full(k, 32, np.uint8)
+        if rem:
+            vals[-1] >>= 32 - rem
+            lens[-1] = rem
+        self.append_symbols(vals, lens)
+
     def append_writer(self, other: "BitWriter"):
         self._grow(other._n)
         self._vals[self._n:self._n + other._n] = other._vals[:other._n]
@@ -129,9 +145,16 @@ class BitWriter:
     def to_bytes(self) -> bytes:
         """Pack to bytes; total bit length must be a byte multiple
         (call rbsp_trailing_bits / byte_align first)."""
-        bits = self.to_bits()
-        assert len(bits) % 8 == 0, "bitstream not byte aligned"
-        return np.packbits(bits).tobytes()
+        assert self.bit_length % 8 == 0, "bitstream not byte aligned"
+        try:
+            from h264lab_tpu.utils import native
+            if native.available():
+                data, _ = native.pack_bits(self._vals[:self._n],
+                                           self._lens[:self._n])
+                return data
+        except Exception:  # pragma: no cover
+            pass
+        return np.packbits(self.to_bits()).tobytes()
 
 
 def pack_symbols_to_bits(vals: np.ndarray, lens: np.ndarray) -> np.ndarray:

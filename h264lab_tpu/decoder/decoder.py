@@ -158,9 +158,10 @@ H2 = np.array([[1, 1], [1, -1]], dtype=np.int64)
 
 
 def dequant_chroma_dc(levels: np.ndarray, qpc: int) -> np.ndarray:
+    # spec 8.5.11 with flat scaling (LevelScale = 16*V00, >>5) simplified
     f = H2 @ levels.astype(np.int64) @ H2.T
     v00 = int(DEQUANT_V[qpc % 6, 0])
-    return ((f * v00) << (qpc // 6)) >> 5
+    return ((f * v00) << (qpc // 6)) >> 1
 
 
 class DecodedFrame:

@@ -17,7 +17,7 @@ from h264lab_tpu.config import EncoderConfig, RunConfig, FrameType
 from h264lab_tpu.bitstream import BitWriter, headers
 from h264lab_tpu.bitstream.nal import annexb_nal
 from h264lab_tpu.models import intra_frame, wavefront
-from h264lab_tpu.ops import tables
+from h264lab_tpu.ops import bitpack, tables
 
 PIC_INIT_QP = 26
 
@@ -119,8 +119,14 @@ class H264Encoder:
             long_term_idx_update=0,
             max_long_term_frames=cfg.max_long_term_reference_frames)
         headers.write_slice_header_rbsp(bw, shp)
-        vals, lens = intra_frame.assemble_intra_slice_symbols(out)
-        bw.append_symbols(vals, lens)
+        # device-packed CAVLC payload; host only stitches the words after
+        # the (non-byte-aligned) slice header
+        total_bits = int(out["total_bits"])
+        cap = bitpack.bucket_words(total_bits)
+        words, _ = bitpack.pack_bits_device(out["sym_vals"],
+                                            out["sym_lens"], cap)
+        bw.append_bits_bytes(bitpack.words_to_bytes(words, total_bits),
+                             total_bits)
         bw.rbsp_trailing_bits()
         ref_idc, nal_type = headers.slice_nal_header_byte(shp)
         nal = annexb_nal(ref_idc, nal_type, bw.to_bytes())

@@ -81,11 +81,12 @@ def _encode_chroma(src, pred, qpc):
     return dc_lev, ac_lev, blocks_to_mb(recon)
 
 
-@functools.partial(jax.jit, static_argnames=("mb_width", "mb_height"))
-def encode_intra_frame(src_y_mb, src_u_mb, src_v_mb, qp, qpc,
-                       steps, avail_top, avail_left,
-                       mb_width: int, mb_height: int):
-    """Run the wavefront intra scan + CAVLC symbolization for one frame.
+def encode_intra_core(src_y_mb, src_u_mb, src_v_mb, qp, qpc,
+                      steps, avail_top, avail_left,
+                      mb_width: int, mb_height: int):
+    """Run the wavefront intra scan + CAVLC symbolization for one frame
+    (un-jitted core; vmap-able over leading batch axes for GOP/band
+    parallelism — see h264lab_tpu.parallel).
 
     Args:
       src_*_mb: (nmb, 16, 16) / (nmb, 8, 8) uint8 source tiles.
@@ -178,6 +179,10 @@ def encode_intra_frame(src_y_mb, src_u_mb, src_v_mb, qp, qpc,
     out.update(dict(mode16=mode16, cmode=cmode,
                     recon_y=recon_y, recon_u=recon_u, recon_v=recon_v))
     return out
+
+
+encode_intra_frame = jax.jit(
+    encode_intra_core, static_argnames=("mb_width", "mb_height"))
 
 
 def _block_nc(nnz_grid, gw, gh, blk_avail_left, blk_avail_top):
@@ -280,6 +285,25 @@ def cavlc_symbolize_intra(mode16, cmode, dc_lev, ac_lev, cdc_lev, cac_lev,
     hdr_vals = jnp.stack([mt_code, cm_code, dqp_code], axis=1)
     hdr_lens = jnp.stack([mt_len, cm_len, dqp_len], axis=1)
 
+    # ---- device-side syntax-order assembly (per MB: header | DC | AC in
+    # coded block scan order | chroma DC | chroma AC) ----
+    ns = cavlc.N_SLOTS
+    scan_idx = jnp.asarray(_BLOCK_SCAN)
+    sym_vals = jnp.concatenate([
+        hdr_vals.astype(jnp.uint32),
+        dc_vals,
+        ac_vals[:, scan_idx].reshape(nmb, 16 * ns),
+        cdc_vals.reshape(nmb, 2 * ns),
+        cac_vals.reshape(nmb, 8 * ns),
+    ], axis=1).ravel()
+    sym_lens = jnp.concatenate([
+        hdr_lens,
+        dc_lens,
+        ac_lens[:, scan_idx].reshape(nmb, 16 * ns),
+        cdc_lens.reshape(nmb, 2 * ns),
+        cac_lens.reshape(nmb, 8 * ns),
+    ], axis=1).ravel()
+
     return dict(
         hdr_vals=hdr_vals.astype(jnp.uint32), hdr_lens=hdr_lens,
         dc_vals=dc_vals, dc_lens=dc_lens,
@@ -287,6 +311,8 @@ def cavlc_symbolize_intra(mode16, cmode, dc_lev, ac_lev, cdc_lev, cac_lev,
         cdc_vals=cdc_vals, cdc_lens=cdc_lens,
         cac_vals=cac_vals, cac_lens=cac_lens,
         cbpl=cbpl, cbpc=cbpc,
+        sym_vals=sym_vals, sym_lens=sym_lens,
+        total_bits=jnp.sum(sym_lens).astype(jnp.int32),
     )
 
 

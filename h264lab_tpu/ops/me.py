@@ -1,0 +1,165 @@
+"""Motion estimation, batched over macroblocks.
+
+TPU-first re-design of the reference's candidate + small-diamond descent
+(`me_search_diamond`, `src/h264-lab.h:4973-5176`): branchy sequential
+descent maps poorly onto a vector machine, so ME here is a regular
+3-stage funnel evaluated for every MB of the frame at once:
+
+1. coarse: dense full search on 4x-downsampled tiles (±4 coarse px =
+   ±16 full px), 81 candidates of 4x4-SAD each;
+2. full-pel refine: dense ±2 window (25 candidates) of 16x16 SAD around
+   the scaled coarse winner;
+3. sub-pel refine: 8 half-pel then 8 quarter-pel neighbours via the
+   precomputed half-pel planes (ops/qpel.py).
+
+Every stage is a fixed-shape gather + reduction — no data-dependent
+control flow. Costs are SAD + lambda_me * mv-bits, with the predictor
+approximated by (0,0) during search (exact median predictors are applied
+in the post-scan MVD pass; see models/inter_frame.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from h264lab_tpu.ops import qpel
+
+COARSE_R = 4        # coarse search radius (in 4x-downsampled pixels)
+REFINE_R = 2        # full-pel refinement radius
+MAX_MV_PEL = COARSE_R * 4 + REFINE_R   # = 18 full-pel; GUARD must exceed +3
+
+
+def mv_bits(v: jnp.ndarray) -> jnp.ndarray:
+    """Exp-Golomb bit count of se(v) (mv component in quarter-pel)."""
+    code = jnp.where(v > 0, 2 * v - 1, -2 * v) + 1
+    nb = 32 - jax.lax.clz(jnp.maximum(code, 1).astype(jnp.int32))
+    return 2 * nb - 1
+
+
+def lambda_me(qp: jnp.ndarray) -> jnp.ndarray:
+    """sqrt of the JM mode lambda, in int (>=1)."""
+    lam = 0.85 * 2.0 ** ((qp.astype(jnp.float32) - 12.0) / 3.0)
+    return jnp.maximum(jnp.sqrt(lam), 1.0).astype(jnp.int32)
+
+
+def downsample4(plane: jnp.ndarray) -> jnp.ndarray:
+    """4x box downsample (uint8 -> uint8) for the coarse stage."""
+    h, w = plane.shape
+    x = plane[:h - h % 4, :w - w % 4].astype(jnp.int32)
+    x = x.reshape(h // 4, 4, w // 4, 4).sum(axis=(1, 3))
+    return ((x + 8) >> 4).astype(jnp.uint8)
+
+
+def _window_offsets(radius: int):
+    d = np.arange(-radius, radius + 1, dtype=np.int32)
+    dy, dx = np.meshgrid(d, d, indexing="ij")
+    return jnp.asarray(dy.ravel()), jnp.asarray(dx.ravel())
+
+
+def coarse_search(cur4: jnp.ndarray, ref4_pad: jnp.ndarray,
+                  base_y4: jnp.ndarray, base_x4: jnp.ndarray,
+                  lam: jnp.ndarray):
+    """Stage 1: (k, 4, 4) coarse tiles vs padded 4x-downsampled reference.
+
+    Returns best (mv_y4, mv_x4) in coarse-pixel units.
+    """
+    dy, dx = _window_offsets(COARSE_R)          # (81,)
+    n_cand = dy.shape[0]
+
+    def cand_sad(i, best):
+        best_cost, best_y, best_x = best
+        blk = qpel.gather_blocks(ref4_pad, base_y4 + dy[i], base_x4 + dx[i],
+                                 4, 4).astype(jnp.int32)
+        sad = jnp.sum(jnp.abs(cur4.astype(jnp.int32) - blk), axis=(1, 2))
+        cost = sad * 16 + lam * (mv_bits(dy[i] * 16) + mv_bits(dx[i] * 16))
+        better = cost < best_cost
+        return (jnp.where(better, cost, best_cost),
+                jnp.where(better, dy[i], best_y),
+                jnp.where(better, dx[i], best_x))
+
+    k = cur4.shape[0]
+    init = (jnp.full((k,), 1 << 30, jnp.int32),
+            jnp.zeros((k,), jnp.int32), jnp.zeros((k,), jnp.int32))
+    cost, my, mx = jax.lax.fori_loop(0, n_cand, cand_sad, init)
+    return my, mx
+
+
+def refine_search(cur: jnp.ndarray, ref_pad: jnp.ndarray,
+                  base_y: jnp.ndarray, base_x: jnp.ndarray,
+                  center_y: jnp.ndarray, center_x: jnp.ndarray,
+                  lam: jnp.ndarray):
+    """Stage 2: full-pel ±REFINE_R around (center_y, center_x) (full-pel).
+
+    Returns (mv_y, mv_x) full-pel and the winning SAD cost.
+    """
+    dy, dx = _window_offsets(REFINE_R)
+
+    def cand(i, best):
+        best_cost, best_y, best_x = best
+        yy = center_y + dy[i]
+        xx = center_x + dx[i]
+        blk = qpel.gather_blocks(ref_pad, base_y + yy, base_x + xx,
+                                 16, 16).astype(jnp.int32)
+        sad = jnp.sum(jnp.abs(cur.astype(jnp.int32) - blk), axis=(1, 2))
+        cost = sad + lam * (mv_bits(yy * 4) + mv_bits(xx * 4))
+        better = cost < best_cost
+        return (jnp.where(better, cost, best_cost),
+                jnp.where(better, yy, best_y),
+                jnp.where(better, xx, best_x))
+
+    k = cur.shape[0]
+    init = (jnp.full((k,), 1 << 30, jnp.int32),
+            jnp.zeros((k,), jnp.int32), jnp.zeros((k,), jnp.int32))
+    cost, my, mx = jax.lax.fori_loop(0, dy.shape[0], cand, init)
+    return my, mx, cost
+
+
+_SUBPEL_OFFS = jnp.asarray(
+    [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1)],
+    dtype=jnp.int32)
+
+
+def subpel_refine(cur: jnp.ndarray, planes, base_y, base_x,
+                  mv_y_q, mv_x_q, lam, step: int):
+    """One sub-pel refinement round: test the 8 neighbours at `step`
+    quarter-pel distance around (mv_y_q, mv_x_q). Returns improved MV."""
+    full, b, h, j = planes
+    cur_i = cur.astype(jnp.int32)
+
+    def cand(i, best):
+        best_cost, best_y, best_x = best
+        yy = mv_y_q + _SUBPEL_OFFS[i, 0] * step
+        xx = mv_x_q + _SUBPEL_OFFS[i, 1] * step
+        pred = qpel.mc_luma(full, b, h, j, yy, xx, base_y, base_x)
+        sad = jnp.sum(jnp.abs(cur_i - pred.astype(jnp.int32)), axis=(1, 2))
+        cost = sad + lam * (mv_bits(yy) + mv_bits(xx))
+        better = cost < best_cost
+        return (jnp.where(better, cost, best_cost),
+                jnp.where(better, yy, best_y),
+                jnp.where(better, xx, best_x))
+
+    # seed with the current position
+    pred0 = qpel.mc_luma(full, b, h, j, mv_y_q, mv_x_q, base_y, base_x)
+    sad0 = jnp.sum(jnp.abs(cur_i - pred0.astype(jnp.int32)), axis=(1, 2))
+    cost0 = sad0 + lam * (mv_bits(mv_y_q) + mv_bits(mv_x_q))
+    best = jax.lax.fori_loop(0, 8, cand, (cost0, mv_y_q, mv_x_q))
+    return best  # (cost, mv_y_q, mv_x_q)
+
+
+def motion_search(cur_mb, ref_pad, hpel, base_y, base_x, base_y4, base_x4,
+                  cur4, ref4_pad, qp):
+    """Full 3-stage ME for all MBs. Returns (mv_y, mv_x) in quarter-pel
+    and the final cost (SAD + lambda*mvbits)."""
+    lam = lambda_me(qp)
+    cy4, cx4 = coarse_search(cur4, ref4_pad, base_y4, base_x4, lam)
+    my, mx, _ = refine_search(cur_mb, ref_pad, base_y, base_x,
+                              cy4 * 4, cx4 * 4, lam)
+    b, h, j = hpel
+    planes = (ref_pad, b, h, j)
+    cost, qy, qx = subpel_refine(cur_mb, planes, base_y, base_x,
+                                 my * 4, mx * 4, lam, step=2)
+    cost, qy, qx = subpel_refine(cur_mb, planes, base_y, base_x,
+                                 qy, qx, lam, step=1)
+    return qy, qx, cost

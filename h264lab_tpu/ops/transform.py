@@ -143,16 +143,18 @@ def dequant4x4(level: jnp.ndarray, qp) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 def quant_luma_dc(dc: jnp.ndarray, qp) -> jnp.ndarray:
-    """Forward: Hadamard then quantize with doubled quantization step.
+    """Forward: Hadamard then quantize with 4x the AC quantization step
+    (compensating the unnormalized 4x4 Hadamard's gain 16 against the
+    decoder-side gain-16 inverse Hadamard and /4 dequant scale).
 
-    level = sign * ((|f| * MF00 // 2 + f_dz) >> (16 + qp//6)), rounding 1/2
-    (no deadzone on DC, matching the reference `src/h264-lab.h:2344-2349`).
+    level = sign * ((|f| * MF00 + rnd) >> (17 + qp//6)), rounding 1/2 (no
+    deadzone on DC, matching the reference `src/h264-lab.h:2344-2349`).
     Input/output (..., 4, 4).
     """
     f = hadamard4x4(dc)
     qp = jnp.asarray(qp, jnp.int32)
     mf00 = _MF[qp % 6, 0]
-    qbits = 16 + qp // 6
+    qbits = 17 + qp // 6
     rnd = jnp.int64(1) << (qbits - 1)
     qbits = jnp.broadcast_to(qbits[..., None, None], f.shape)
     rnd = jnp.broadcast_to(rnd[..., None, None], f.shape)
@@ -196,12 +198,16 @@ def quant_chroma_dc(dc: jnp.ndarray, qpc) -> jnp.ndarray:
 
 
 def dequant_chroma_dc(level: jnp.ndarray, qpc) -> jnp.ndarray:
-    """Inverse: 2x2 Hadamard then dcC = ((f * V00) << qp//6) >> 5."""
+    """Inverse: 2x2 Hadamard then dcC = ((f * V00) << qp//6) >> 1.
+
+    Spec 8.5.11 with flat scaling lists: LevelScale = 16*V00 and a >>5,
+    which cancels to the plain-V00 form used here.
+    """
     f = hadamard2x2(level)
     qpc = jnp.asarray(qpc, jnp.int32)
     v00 = _V[qpc % 6, 0][..., None, None]
     div6 = (qpc // 6)[..., None, None]
-    return (((f * v00) << div6) >> 5).astype(jnp.int32)
+    return (((f * v00) << div6) >> 1).astype(jnp.int32)
 
 
 # ---------------------------------------------------------------------------

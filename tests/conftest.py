@@ -3,12 +3,19 @@
 This is the multi-chip-without-a-cluster strategy from SURVEY.md §4: all
 sharding tests run against `--xla_force_host_platform_device_count=8`,
 while the real TPU chip is reserved for `bench.py`.
+
+Note: in this environment the axon TPU plugin ignores the JAX_PLATFORMS
+env var, so we must force the platform through jax.config before any
+backend is initialized.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

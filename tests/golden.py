@@ -70,7 +70,7 @@ def hadamard4x4(x: np.ndarray) -> np.ndarray:
 def quant_luma_dc(dc: np.ndarray, qp: int) -> np.ndarray:
     f = hadamard4x4(dc).astype(np.int64)
     mf00 = int(tables.QUANT_MF[qp % 6, 0])
-    qbits = 16 + qp // 6
+    qbits = 17 + qp // 6
     mag = (np.abs(f) * mf00 + (1 << (qbits - 1))) >> qbits
     return (np.sign(f) * mag).astype(np.int32)
 
@@ -104,4 +104,4 @@ def quant_chroma_dc(dc: np.ndarray, qpc: int) -> np.ndarray:
 def dequant_chroma_dc(level: np.ndarray, qpc: int) -> np.ndarray:
     f = hadamard2x2(level).astype(np.int64)
     v00 = int(tables.DEQUANT_V[qpc % 6, 0])
-    return (((f * v00) << (qpc // 6)) >> 5).astype(np.int32)
+    return (((f * v00) << (qpc // 6)) >> 1).astype(np.int32)

@@ -48,8 +48,8 @@ def test_encode_decode_bit_exact(codec, qp):
 def test_quality_reasonable(codec):
     srcs, recons, decoded = _encode_decode(codec, 128, 96, 26)
     (sy, su, sv), (dy, du, dv) = srcs[0], decoded[0]
-    assert psnr(sy, dy) > 32.0
-    assert psnr(su, du) > 38.0
+    assert psnr(sy, dy) > 40.0
+    assert psnr(su, du) > 45.0
 
 
 def test_cropped_frame_size(codec):
