@@ -27,6 +27,7 @@ class FrameType(enum.IntEnum):
     RECOVERY = 4     # P frame predicted from golden, stored as new golden
     DROPPABLE = 5    # P frame not used as a reference (temporal scalability)
     CUSTOM = 6       # caller controls long_term_idx_use/update directly
+    P = 7            # plain predicted frame (what DEFAULT resolves to mid-GOP)
 
 
 class SpeedPreset(enum.IntEnum):

@@ -18,7 +18,7 @@ import numpy as np
 
 from h264lab_tpu.bitstream.nal import split_annexb, unescape_rbsp
 from h264lab_tpu.decoder.bitreader import BitReader
-from h264lab_tpu.decoder import cavlc_dec
+from h264lab_tpu.decoder import cavlc_dec, interpolate
 from h264lab_tpu.ops.tables import (
     CBP_TO_CODENUM, QPC_FROM_QPY, BLOCK_SCAN_4x4, DEQUANT_V, POS_CLASS,
 )
@@ -188,6 +188,9 @@ class H264Decoder:
         self._nnz_luma = None       # (4*mbh, 4*mbw)
         self._nnz_chroma = None     # (2, 2*mbh, 2*mbw)
         self._mb_intra = None       # (mbh, mbw) bool
+        self._mb_avail = None       # (mbh, mbw) bool (decoded yet)
+        self._mv = None             # (mbh, mbw, 2) int32 (y, x)
+        self._ref_planes = None     # (luma planes tuple, u_pad, v_pad)
 
     # ---------------- public ----------------
     def decode(self, stream: bytes) -> list[DecodedFrame]:
@@ -255,18 +258,29 @@ class H264Decoder:
                 br.se()
 
         if first_mb == 0:
-            self._start_picture()
+            self._start_picture(slice_type == 0)
         self._parse_slice_data(br, slice_type, first_mb, slice_qp,
                                disable_deblock)
 
-    def _start_picture(self):
+    def _start_picture(self, is_p: bool):
         sps = self.sps
+        if self._cur is not None and is_p:
+            # previous decoded picture becomes the reference
+            g = interpolate.GUARD
+            y_pad = interpolate.pad(self._cur.y, g)
+            planes = (y_pad,) + interpolate.half_planes(y_pad)
+            self._ref_planes = (
+                planes,
+                interpolate.pad(self._cur.u, g // 2),
+                interpolate.pad(self._cur.v, g // 2))
         self._cur = DecodedFrame(sps)
         self._nnz_luma = np.zeros((4 * sps.mb_height, 4 * sps.mb_width),
                                   np.int32)
         self._nnz_chroma = np.zeros((2, 2 * sps.mb_height, 2 * sps.mb_width),
                                     np.int32)
         self._mb_intra = np.zeros((sps.mb_height, sps.mb_width), bool)
+        self._mb_avail = np.zeros((sps.mb_height, sps.mb_width), bool)
+        self._mv = np.zeros((sps.mb_height, sps.mb_width, 2), np.int32)
         self.frames.append(self._cur)
 
     # ---------------- macroblocks ----------------
@@ -283,9 +297,22 @@ class H264Decoder:
                 mb_type = br.ue()
                 qp = self._decode_intra_mb(br, mb, mb_type, qp, slice_start)
                 mb += 1
-            else:
-                raise NotImplementedError("P slice decoding arrives with "
-                                          "inter pipeline")
+            else:                # P slice
+                skip_run = br.ue()
+                for _ in range(skip_run):
+                    if mb >= nmb:
+                        raise ValueError("skip run past end of picture")
+                    self._decode_skip_mb(mb)
+                    mb += 1
+                if mb >= nmb or not br.more_rbsp_data():
+                    break
+                mb_type = br.ue()
+                if mb_type >= 5:
+                    qp = self._decode_intra_mb(br, mb, mb_type - 5, qp,
+                                               slice_start)
+                else:
+                    qp = self._decode_p_mb(br, mb, mb_type, qp)
+                mb += 1
             if not br.more_rbsp_data():
                 break
 
@@ -420,6 +447,149 @@ class H264Decoder:
             plane[8 * r:8 * r + 8, 8 * c:8 * c + 8] = crecon.astype(np.uint8)
 
         self._mb_intra[r, c] = True
+        self._mb_avail[r, c] = True
+        self._mv[r, c] = 0
+        return qp
+
+    # ---------------- inter (P) ----------------
+    def _neighbor_mv(self, r: int, c: int):
+        """(mv, ref0_flag, mb_available) for one neighbour position."""
+        sps = self.sps
+        if not (0 <= r < sps.mb_height and 0 <= c < sps.mb_width):
+            return np.zeros(2, np.int32), False, False
+        if not self._mb_avail[r, c]:
+            return np.zeros(2, np.int32), False, False
+        if self._mb_intra[r, c]:
+            return np.zeros(2, np.int32), False, True
+        return self._mv[r, c].copy(), True, True
+
+    def _mvp(self, r: int, c: int):
+        """Median MV predictor (spec 8.4.1.3) for a 16x16 partition."""
+        mva, refa, ava = self._neighbor_mv(r, c - 1)
+        mvb, refb, avb = self._neighbor_mv(r - 1, c)
+        mvc, refc, avc = self._neighbor_mv(r - 1, c + 1)
+        if not avc:
+            mvc, refc, avc = self._neighbor_mv(r - 1, c - 1)
+        if not avb and not avc and ava:
+            mvb, refb = mva, refa
+            mvc, refc = mva, refa
+        cnt = int(refa) + int(refb) + int(refc)
+        if cnt == 1:
+            if refa:
+                return mva
+            if refb:
+                return mvb
+            return mvc
+        stack = np.stack([mva, mvb, mvc])
+        return np.median(stack, axis=0).astype(np.int32)
+
+    def _skip_mv(self, r: int, c: int):
+        mva, refa, ava = self._neighbor_mv(r, c - 1)
+        mvb, refb, avb = self._neighbor_mv(r - 1, c)
+        if (not ava or not avb
+                or (refa and mva[0] == 0 and mva[1] == 0)
+                or (refb and mvb[0] == 0 and mvb[1] == 0)):
+            return np.zeros(2, np.int32)
+        return self._mvp(r, c)
+
+    def _mc_predict(self, r: int, c: int, mv):
+        planes, u_pad, v_pad = self._ref_planes
+        g = interpolate.GUARD
+        py = interpolate.mc_luma_block(planes, g + 16 * r, g + 16 * c,
+                                       int(mv[0]), int(mv[1]))
+        pu = interpolate.mc_chroma_block(u_pad, g // 2 + 8 * r,
+                                         g // 2 + 8 * c, int(mv[0]), int(mv[1]))
+        pv = interpolate.mc_chroma_block(v_pad, g // 2 + 8 * r,
+                                         g // 2 + 8 * c, int(mv[0]), int(mv[1]))
+        return py, pu, pv
+
+    def _decode_skip_mb(self, mb: int):
+        sps = self.sps
+        r, c = divmod(mb, sps.mb_width)
+        mv = self._skip_mv(r, c)
+        py, pu, pv = self._mc_predict(r, c, mv)
+        self._cur.y[16 * r:16 * r + 16, 16 * c:16 * c + 16] = py
+        self._cur.u[8 * r:8 * r + 8, 8 * c:8 * c + 8] = pu
+        self._cur.v[8 * r:8 * r + 8, 8 * c:8 * c + 8] = pv
+        self._mv[r, c] = mv
+        self._mb_intra[r, c] = False
+        self._mb_avail[r, c] = True
+        self._nnz_luma[4 * r:4 * r + 4, 4 * c:4 * c + 4] = 0
+        self._nnz_chroma[:, 2 * r:2 * r + 2, 2 * c:2 * c + 2] = 0
+
+    def _decode_p_mb(self, br: BitReader, mb: int, mb_type: int,
+                     qp: int) -> int:
+        sps, pps = self.sps, self.pps
+        if mb_type != 0:
+            raise NotImplementedError(f"P mb_type {mb_type} (partitions)")
+        r, c = divmod(mb, sps.mb_width)
+        mvd_x = br.se()
+        mvd_y = br.se()
+        mvp = self._mvp(r, c)
+        mv = np.array([mvp[0] + mvd_y, mvp[1] + mvd_x], np.int32)
+        self._mv[r, c] = mv
+        self._mb_intra[r, c] = False
+        self._mb_avail[r, c] = True
+
+        cbp = int(CODENUM_TO_CBP_INTER[br.ue()])
+        cbp_luma = cbp & 15
+        cbp_chroma = cbp >> 4
+        if cbp:
+            dqp = br.se()
+            qp = (qp + dqp) % 52
+        qpc = int(QPC_FROM_QPY[np.clip(qp + pps.chroma_qp_index_offset,
+                                       0, 51)])
+
+        py, pu, pv = self._mc_predict(r, c, mv)
+
+        recon = py.astype(np.int64).copy()
+        for k in BLOCK_SCAN_4x4:
+            bb, bc = divmod(int(k), 4)
+            grp = (bb // 2) * 2 + (bc // 2)
+            if cbp_luma & (1 << grp):
+                nc = self._nc_luma(4 * r + bb, 4 * c + bc, 0)
+                lv_scan, total = cavlc_dec.decode_block(br, nc, 16)
+                self._nnz_luma[4 * r + bb, 4 * c + bc] = total
+                lv = np.array(cavlc_dec.scan_to_raster4x4(lv_scan),
+                              np.int64).reshape(4, 4)
+                res = idct4x4_core(dequant4x4(lv, qp))
+                blk = recon[4 * bb:4 * bb + 4, 4 * bc:4 * bc + 4]
+                recon[4 * bb:4 * bb + 4, 4 * bc:4 * bc + 4] = \
+                    clip255(blk + res)
+            else:
+                self._nnz_luma[4 * r + bb, 4 * c + bc] = 0
+        self._cur.y[16 * r:16 * r + 16, 16 * c:16 * c + 16] = \
+            recon.astype(np.uint8)
+
+        # chroma: DC both planes, then AC both planes
+        cdc_deq = []
+        for plane_idx in range(2):
+            if cbp_chroma >= 1:
+                lv_scan, _ = cavlc_dec.decode_block(br, -1, 4)
+                lv = np.array(lv_scan, np.int64).reshape(2, 2)
+            else:
+                lv = np.zeros((2, 2), np.int64)
+            cdc_deq.append(dequant_chroma_dc(lv, qpc))
+        for plane_idx, (plane, cpred) in enumerate(
+                ((self._cur.u, pu), (self._cur.v, pv))):
+            crec = np.zeros((8, 8), np.int64)
+            for k in range(4):
+                bb, bc = divmod(k, 2)
+                if cbp_chroma == 2:
+                    nc = self._nc_chroma(plane_idx, 2 * r + bb, 2 * c + bc)
+                    lv_scan, total = cavlc_dec.decode_block(br, nc, 15)
+                    self._nnz_chroma[plane_idx, 2 * r + bb, 2 * c + bc] = total
+                    lv = np.array(cavlc_dec.scan_to_raster4x4([0] + lv_scan),
+                                  np.int64).reshape(4, 4)
+                else:
+                    self._nnz_chroma[plane_idx, 2 * r + bb, 2 * c + bc] = 0
+                    lv = np.zeros((4, 4), np.int64)
+                deq = dequant4x4(lv, qpc)
+                deq[0, 0] = cdc_deq[plane_idx][bb, bc]
+                res = idct4x4_core(deq)
+                pc = cpred[4 * bb:4 * bb + 4, 4 * bc:4 * bc + 4].astype(np.int64)
+                crec[4 * bb:4 * bb + 4, 4 * bc:4 * bc + 4] = clip255(res + pc)
+            plane[8 * r:8 * r + 8, 8 * c:8 * c + 8] = crec.astype(np.uint8)
         return qp
 
     # ---------------- predictions ----------------

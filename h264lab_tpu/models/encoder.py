@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from h264lab_tpu.config import EncoderConfig, RunConfig, FrameType
 from h264lab_tpu.bitstream import BitWriter, headers
 from h264lab_tpu.bitstream.nal import annexb_nal
-from h264lab_tpu.models import intra_frame, wavefront
+from h264lab_tpu.models import intra_frame, inter_frame, refstate, wavefront
 from h264lab_tpu.ops import bitpack, tables
 
 PIC_INIT_QP = 26
@@ -51,6 +51,7 @@ class H264Encoder:
         self.idr_pic_id = 0
         self.frames_encoded = 0
         self._gop_pos = 0
+        self._ref = None      # reference-state pytree (refstate.py)
 
         self._sps = headers.SpsParams(
             width=cfg.width, height=cfg.height,
@@ -65,11 +66,11 @@ class H264Encoder:
         if run.frame_type != FrameType.DEFAULT:
             return run.frame_type
         gop = self.config.gop
-        if self.frames_encoded == 0:
+        if self.frames_encoded == 0 or self._ref is None:
             return FrameType.KEY
         if gop and self._gop_pos >= gop:
             return FrameType.KEY
-        return FrameType.I  # all-intra v1; P frames arrive with inter pipeline
+        return FrameType.P
 
     def _pad_tiles(self, y, u, v):
         cfg = self.config
@@ -91,13 +92,24 @@ class H264Encoder:
 
         ftype = self._frame_type(run)
         is_idr = ftype == FrameType.KEY
+        is_intra_frame = ftype in (FrameType.KEY, FrameType.I)
 
         ty, tu, tv = self._pad_tiles(y, u, v)
-        out = intra_frame.encode_intra_frame(
-            jnp.asarray(ty), jnp.asarray(tu), jnp.asarray(tv),
-            jnp.int32(qp), jnp.int32(qpc),
-            self._steps, self._avail_top, self._avail_left,
-            cfg.mb_width, cfg.mb_height)
+        if is_intra_frame:
+            out = intra_frame.encode_intra_frame(
+                jnp.asarray(ty), jnp.asarray(tu), jnp.asarray(tv),
+                jnp.int32(qp), jnp.int32(qpc),
+                self._steps, self._avail_top, self._avail_left,
+                cfg.mb_width, cfg.mb_height)
+        else:
+            ref = self._ref
+            out = inter_frame.encode_p_frame(
+                jnp.asarray(ty), jnp.asarray(tu), jnp.asarray(tv),
+                ref["y_pad"], ref["u_pad"], ref["v_pad"],
+                ref["b"], ref["h"], ref["j"], ref["y4_pad"],
+                jnp.int32(qp), jnp.int32(qpc),
+                self._steps, self._avail_top, self._avail_left,
+                cfg.mb_width, cfg.mb_height)
 
         payload = b""
         if is_idr:
@@ -108,7 +120,8 @@ class H264Encoder:
         # slice
         bw = BitWriter(capacity=1 << 16)
         shp = headers.SliceHeaderParams(
-            slice_type=headers.SLICE_TYPE_I,
+            slice_type=(headers.SLICE_TYPE_I if is_intra_frame
+                        else headers.SLICE_TYPE_P),
             is_idr=is_idr,
             frame_num=self.frame_num,
             pps_id=self._pps_id,
@@ -143,6 +156,11 @@ class H264Encoder:
         self.frame_num = (self.frame_num + 1) % (1 << headers.FRAME_NUM_BITS)
         self.frames_encoded += 1
 
+        # update the short-term reference (this frame is a reference)
+        self._ref = refstate.prepare_reference(
+            out["recon_y"], out["recon_u"], out["recon_v"],
+            cfg.mb_width, cfg.mb_height)
+
         recon = None
         if return_recon:
             cfgw, cfgh = cfg.mb_width, cfg.mb_height
@@ -152,6 +170,6 @@ class H264Encoder:
             recon = (ry[:cfg.height, :cfg.width],
                      ru[:cfg.height // 2, :cfg.width // 2],
                      rv[:cfg.height // 2, :cfg.width // 2])
-        return FrameResult(payload=payload,
-                           frame_type="IDR" if is_idr else "I",
+        ft_name = "IDR" if is_idr else ("I" if is_intra_frame else "P")
+        return FrameResult(payload=payload, frame_type=ft_name,
                            qp=qp, recon=recon)
