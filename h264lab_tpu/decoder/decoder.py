@@ -191,6 +191,7 @@ class H264Decoder:
         self._mb_avail = None       # (mbh, mbw) bool (decoded yet)
         self._mv = None             # (mbh, mbw, 2) int32 (y, x)
         self._ref_planes = None     # (luma planes tuple, u_pad, v_pad)
+        self._i4_modes = None       # (4*mbh, 4*mbw) int32, -1 = not i4x4
 
     # ---------------- public ----------------
     def decode(self, stream: bytes) -> list[DecodedFrame]:
@@ -281,6 +282,8 @@ class H264Decoder:
         self._mb_intra = np.zeros((sps.mb_height, sps.mb_width), bool)
         self._mb_avail = np.zeros((sps.mb_height, sps.mb_width), bool)
         self._mv = np.zeros((sps.mb_height, sps.mb_width, 2), np.int32)
+        self._i4_modes = np.full((4 * sps.mb_height, 4 * sps.mb_width), -1,
+                                 np.int32)
         self.frames.append(self._cur)
 
     # ---------------- macroblocks ----------------
@@ -350,7 +353,7 @@ class H264Decoder:
         mbw = sps.mb_width
         r, c = divmod(mb, mbw)
         if mb_type == 0:
-            raise NotImplementedError("Intra_4x4 decode arrives next")
+            return self._decode_i4x4_mb(br, mb, qp)
         if not (1 <= mb_type <= 24):
             raise NotImplementedError(f"I mb_type {mb_type}")
         t = mb_type - 1
@@ -450,6 +453,143 @@ class H264Decoder:
         self._mb_avail[r, c] = True
         self._mv[r, c] = 0
         return qp
+
+    # ---------------- intra 4x4 ----------------
+    # raster blocks whose top-right sample must be replicated (not yet
+    # decoded in coded order, or outside the MB on rows > 0)
+    _NO_TR = frozenset({5, 7, 11, 13, 15})
+
+    def _decode_i4x4_mb(self, br: BitReader, mb: int, qp: int) -> int:
+        sps, pps = self.sps, self.pps
+        mbw = sps.mb_width
+        r, c = divmod(mb, mbw)
+        y = self._cur.y
+        gm = self._i4_modes
+
+        # 1. prediction modes, coded block order
+        modes = np.zeros(16, np.int32)
+        for b in BLOCK_SCAN_4x4:
+            bi, bj = divmod(int(b), 4)
+            gy, gx = 4 * r + bi, 4 * c + bj
+            ma = gm[gy, gx - 1] if gx > 0 else -1
+            mbm = gm[gy - 1, gx] if gy > 0 else -1
+            pred = 2 if (ma < 0 or mbm < 0) else min(int(ma), int(mbm))
+            if br.u1():
+                mode = pred
+            else:
+                rem = br.u(3)
+                mode = rem if rem < pred else rem + 1
+            modes[b] = mode
+            gm[gy, gx] = mode
+
+        chroma_mode = br.ue()
+        cbp = int(CODENUM_TO_CBP_INTRA[br.ue()])
+        cbp_luma = cbp & 15
+        cbp_chroma = cbp >> 4
+        if cbp:
+            qp = (qp + br.se()) % 52
+        qpc = int(QPC_FROM_QPY[np.clip(qp + pps.chroma_qp_index_offset,
+                                       0, 51)])
+
+        # 2. per-block predict + residual + recon, coded order
+        for b in BLOCK_SCAN_4x4:
+            b = int(b)
+            bi, bj = divmod(b, 4)
+            by, bx = 16 * r + 4 * bi, 16 * c + 4 * bj
+            a_top = by > 0
+            a_left = bx > 0
+            a_tl = a_top and a_left
+            if b in self._NO_TR:
+                tr_ok = False
+            elif bi == 0 and bj == 3:
+                tr_ok = (r > 0) and (c < mbw - 1)
+            elif bi == 0:
+                tr_ok = r > 0
+            else:
+                tr_ok = True
+            t = y[by - 1, bx:bx + 4].astype(np.int32) if a_top else np.zeros(4, np.int32)
+            l = y[by:by + 4, bx - 1].astype(np.int32) if a_left else np.zeros(4, np.int32)
+            tl = int(y[by - 1, bx - 1]) if a_tl else 0
+            if tr_ok and a_top:
+                tr = y[by - 1, bx + 4:bx + 8].astype(np.int32)
+            else:
+                tr = np.full(4, t[3], np.int32)
+            mode = int(modes[b])
+            pred = self._pred4x4(mode, t, l, tl, tr, a_top, a_left)
+
+            grp = (bi // 2) * 2 + (bj // 2)
+            if cbp_luma & (1 << grp):
+                nc = self._nc_luma(4 * r + bi, 4 * c + bj, 0)
+                lv_scan, total = cavlc_dec.decode_block(br, nc, 16)
+                self._nnz_luma[4 * r + bi, 4 * c + bj] = total
+                lv = np.array(cavlc_dec.scan_to_raster4x4(lv_scan),
+                              np.int64).reshape(4, 4)
+                res = idct4x4_core(dequant4x4(lv, qp))
+            else:
+                self._nnz_luma[4 * r + bi, 4 * c + bj] = 0
+                res = np.zeros((4, 4), np.int64)
+            y[by:by + 4, bx:bx + 4] = clip255(res + pred).astype(np.uint8)
+
+        # 3. chroma, same structure as Intra_16x16 path
+        avail_top = r > 0
+        avail_left = c > 0
+        for plane_idx, plane in enumerate((self._cur.u, self._cur.v)):
+            ctop = (plane[8 * r - 1, 8 * c:8 * c + 8].astype(np.int32)
+                    if avail_top else None)
+            cleft = (plane[8 * r:8 * r + 8, 8 * c - 1].astype(np.int32)
+                     if avail_left else None)
+            setattr(self, f"_cpred{plane_idx}",
+                    self._pred_chroma(chroma_mode, ctop, cleft))
+        cdc_deq = []
+        for plane_idx in range(2):
+            if cbp_chroma >= 1:
+                lv_scan, _ = cavlc_dec.decode_block(br, -1, 4)
+                lv = np.array(lv_scan, np.int64).reshape(2, 2)
+            else:
+                lv = np.zeros((2, 2), np.int64)
+            cdc_deq.append(dequant_chroma_dc(lv, qpc))
+        for plane_idx, plane in enumerate((self._cur.u, self._cur.v)):
+            cpred = getattr(self, f"_cpred{plane_idx}")
+            crecon = np.zeros((8, 8), np.int64)
+            for k in range(4):
+                bb, bc = divmod(k, 2)
+                if cbp_chroma == 2:
+                    nc = self._nc_chroma(plane_idx, 2 * r + bb, 2 * c + bc)
+                    lv_scan, total = cavlc_dec.decode_block(br, nc, 15)
+                    self._nnz_chroma[plane_idx, 2 * r + bb, 2 * c + bc] = total
+                    lv = np.array(cavlc_dec.scan_to_raster4x4([0] + lv_scan),
+                                  np.int64).reshape(4, 4)
+                else:
+                    self._nnz_chroma[plane_idx, 2 * r + bb, 2 * c + bc] = 0
+                    lv = np.zeros((4, 4), np.int64)
+                deq = dequant4x4(lv, qpc)
+                deq[0, 0] = cdc_deq[plane_idx][bb, bc]
+                res = idct4x4_core(deq)
+                pc = cpred[4 * bb:4 * bb + 4, 4 * bc:4 * bc + 4]
+                crecon[4 * bb:4 * bb + 4, 4 * bc:4 * bc + 4] = clip255(res + pc)
+            plane[8 * r:8 * r + 8, 8 * c:8 * c + 8] = crecon.astype(np.uint8)
+
+        self._mb_intra[r, c] = True
+        self._mb_avail[r, c] = True
+        self._mv[r, c] = 0
+        return qp
+
+    @staticmethod
+    def _pred4x4(mode, t, l, tl, tr, avail_top, avail_left):
+        """Scalar 4x4 intra prediction (spec 8.3.1.2). DC handles partial
+        availability; other modes assume the caller ensured availability."""
+        if mode == 2:
+            if avail_top and avail_left:
+                dc = (int(t.sum()) + int(l.sum()) + 4) >> 3
+            elif avail_top:
+                dc = (int(t.sum()) + 2) >> 2
+            elif avail_left:
+                dc = (int(l.sum()) + 2) >> 2
+            else:
+                dc = 128
+            return np.full((4, 4), dc, np.int64)
+        from h264lab_tpu.decoder.intra_pred import pred4 as _p4
+        return _p4(mode, t, l, tl, tr).astype(np.int64)
 
     # ---------------- inter (P) ----------------
     def _neighbor_mv(self, r: int, c: int):

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from h264lab_tpu.config import EncoderConfig, RunConfig, FrameType
 from h264lab_tpu.bitstream import BitWriter, headers
 from h264lab_tpu.bitstream.nal import annexb_nal
-from h264lab_tpu.models import intra_frame, inter_frame, refstate, wavefront
+from h264lab_tpu.models import mbscan, refstate, wavefront
 from h264lab_tpu.ops import bitpack, tables
 
 PIC_INIT_QP = 26
@@ -38,7 +38,8 @@ class H264Encoder:
     def __init__(self, config: EncoderConfig):
         self.config = config
         cfg = config
-        self.plan = wavefront.make_plan(cfg.mb_width, cfg.mb_height, slope=1)
+        # slope-2 wavefront satisfies intra-4x4's top-right dependency
+        self.plan = wavefront.make_plan(cfg.mb_width, cfg.mb_height, slope=2)
         self._steps = jnp.asarray(self.plan.steps)
         nmb = cfg.n_mb
         mbw = cfg.mb_width
@@ -95,21 +96,23 @@ class H264Encoder:
         is_intra_frame = ftype in (FrameType.KEY, FrameType.I)
 
         ty, tu, tv = self._pad_tiles(y, u, v)
+        enable_i4x4 = is_intra_frame or run.encode_speed < 2
         if is_intra_frame:
-            out = intra_frame.encode_intra_frame(
+            out = mbscan.encode_intra_frame(
                 jnp.asarray(ty), jnp.asarray(tu), jnp.asarray(tv),
                 jnp.int32(qp), jnp.int32(qpc),
                 self._steps, self._avail_top, self._avail_left,
-                cfg.mb_width, cfg.mb_height)
+                cfg.mb_width, cfg.mb_height, enable_i4x4=True)
         else:
             ref = self._ref
-            out = inter_frame.encode_p_frame(
+            out = mbscan.encode_frame(
                 jnp.asarray(ty), jnp.asarray(tu), jnp.asarray(tv),
                 ref["y_pad"], ref["u_pad"], ref["v_pad"],
                 ref["b"], ref["h"], ref["j"], ref["y4_pad"],
                 jnp.int32(qp), jnp.int32(qpc),
                 self._steps, self._avail_top, self._avail_left,
-                cfg.mb_width, cfg.mb_height)
+                cfg.mb_width, cfg.mb_height, has_inter=True,
+                enable_i4x4=enable_i4x4)
 
         payload = b""
         if is_idr:

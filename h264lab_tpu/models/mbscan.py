@@ -1,0 +1,757 @@
+"""Unified macroblock engine: one wavefront pipeline for I and P frames
+with all three MB candidates — inter 16x16 (P only), Intra_16x16 and
+Intra_4x4 — plus the unified CAVLC symbolization.
+
+This supersedes the separate intra/inter pipelines; it is the TPU-native
+re-design of the reference's `mb_encode` decision cascade
+(`src/h264-lab.h:5724-5812`). Structure:
+
+1. (P) pre-scan: ME funnel + MC + inter TQ, fully parallel (ops/me.py).
+2. Wavefront `lax.scan` (slope-2 diagonals when i4x4 is on, to satisfy
+   its top-right dependency): per MB evaluate the enabled candidates from
+   carried recon edges, pick by SAD+lambda·bits cost, TQ, scatter edges.
+3. Post-scan, fully parallel: MV predictors/P_Skip, CBPs, nnz contexts,
+   CAVLC symbol expansion, device-side syntax-order assembly.
+
+MB selection encoding: sel 0 = inter, 1 = Intra_16x16, 2 = Intra_4x4.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from h264lab_tpu.ops import (bitpack, cavlc, deblock, intra, intra4, me,
+                             qpel, tables, transform)
+
+SEL_INTER, SEL_I16, SEL_I4 = 0, 1, 2
+
+INTRA_DEADZONE_Q8 = 85
+INTER_DEADZONE_Q8 = 43
+INTRA_IN_P_PENALTY_BITS = 24
+I4_PENALTY_BITS = 16     # base syntax overhead charged to the i4x4 candidate
+
+_ZZ = jnp.asarray(tables.ZIGZAG_4x4)
+_BLOCK_SCAN = jnp.asarray(tables.BLOCK_SCAN_4x4)
+_CBP_INTRA_CODE = jnp.asarray(tables.CBP_TO_CODENUM[:, 0])
+_CBP_INTER_CODE = jnp.asarray(tables.CBP_TO_CODENUM[:, 1])
+
+
+def mb_to_blocks(mb: jnp.ndarray, nblk: int) -> jnp.ndarray:
+    k = mb.shape[0]
+    return mb.reshape(k, nblk, 4, nblk, 4).transpose(0, 1, 3, 2, 4)
+
+
+def blocks_to_mb(blocks: jnp.ndarray) -> jnp.ndarray:
+    k, n, _, _, _ = blocks.shape
+    return blocks.transpose(0, 1, 3, 2, 4).reshape(k, n * 4, n * 4)
+
+
+def _bitlen32(x):
+    return 32 - jax.lax.clz(x.astype(jnp.int32))
+
+
+def _ue_codes(v):
+    code = v + 1
+    return code.astype(jnp.uint32), (2 * _bitlen32(code) - 1).astype(jnp.int32)
+
+
+def _se_codes(v):
+    return _ue_codes(jnp.where(v > 0, 2 * v - 1, -2 * v))
+
+
+def _encode_luma_i16(src, pred, qp):
+    sb = mb_to_blocks(src.astype(jnp.int32), 4)
+    pb = mb_to_blocks(pred.astype(jnp.int32), 4)
+    coef = transform.fdct4x4(sb - pb)
+    dc = coef[..., 0, 0]
+    dc_lev = transform.quant_luma_dc(dc, qp)
+    dc_deq = transform.dequant_luma_dc(dc_lev, qp)
+    ac_lev = transform.quant4x4(coef, qp, INTRA_DEADZONE_Q8)
+    ac_lev = ac_lev.at[..., 0, 0].set(0)
+    deq = transform.dequant4x4(ac_lev, qp)
+    deq = deq.at[..., 0, 0].set(dc_deq)
+    res = transform.idct4x4(deq)
+    recon = jnp.clip(res + pb, 0, 255).astype(jnp.uint8)
+    return dc_lev, ac_lev, blocks_to_mb(recon)
+
+
+def _encode_chroma(src, pred, qpc, deadzone):
+    sb = mb_to_blocks(src.astype(jnp.int32), 2)
+    pb = mb_to_blocks(pred.astype(jnp.int32), 2)
+    coef = transform.fdct4x4(sb - pb)
+    dc = coef[..., 0, 0]
+    dc_lev = transform.quant_chroma_dc(dc, qpc)
+    dc_deq = transform.dequant_chroma_dc(dc_lev, qpc)
+    ac_lev = transform.quant4x4(coef, qpc, deadzone)
+    ac_lev = ac_lev.at[..., 0, 0].set(0)
+    deq = transform.dequant4x4(ac_lev, qpc)
+    deq = deq.at[..., 0, 0].set(dc_deq)
+    res = transform.idct4x4(deq)
+    recon = jnp.clip(res + pb, 0, 255).astype(jnp.uint8)
+    return dc_lev, ac_lev, blocks_to_mb(recon)
+
+
+def _encode_inter_luma(src, pred, qp):
+    sb = mb_to_blocks(src.astype(jnp.int32), 4)
+    pb = mb_to_blocks(pred.astype(jnp.int32), 4)
+    coef = transform.fdct4x4(sb - pb)
+    lev = transform.quant4x4(coef, qp, INTER_DEADZONE_Q8)
+    deq = transform.dequant4x4(lev, qp)
+    res = transform.idct4x4(deq)
+    recon = jnp.clip(res + pb, 0, 255).astype(jnp.uint8)
+    return lev, blocks_to_mb(recon)
+
+
+# ---------------------------------------------------------------------------
+# the frame scan
+# ---------------------------------------------------------------------------
+
+def encode_frame_core(src_y_mb, src_u_mb, src_v_mb,
+                      ref_y_pad, ref_u_pad, ref_v_pad,
+                      hpel_b, hpel_h, hpel_j, ref4_pad,
+                      qp, qpc, steps, avail_top, avail_left,
+                      mb_width: int, mb_height: int,
+                      has_inter: bool, enable_i4x4: bool,
+                      enable_deblock: bool = False):
+    """Encode one frame/slice-band. For I frames pass dummy ref planes and
+    has_inter=False (they are ignored)."""
+    nmb = mb_width * mb_height
+    rr = jnp.arange(nmb, dtype=jnp.int32) // mb_width
+    cc = jnp.arange(nmb, dtype=jnp.int32) % mb_width
+    lam = me.lambda_me(qp)
+
+    # ---------------- stage 1 (P): ME + MC + inter TQ --------------------
+    if has_inter:
+        base_y = qpel.GUARD + 16 * rr
+        base_x = qpel.GUARD + 16 * cc
+        g4 = qpel.GUARD // 4
+        t = src_y_mb.astype(jnp.int32).reshape(nmb, 4, 4, 4, 4)
+        cur4 = ((t.sum(axis=(2, 4)) + 8) >> 4).astype(jnp.uint8)
+        mv_y, mv_x, inter_cost = me.motion_search(
+            src_y_mb, ref_y_pad, (hpel_b, hpel_h, hpel_j),
+            base_y, base_x, g4 + 4 * rr, g4 + 4 * cc, cur4, ref4_pad, qp)
+        pred_y_inter = qpel.mc_luma(ref_y_pad, hpel_b, hpel_h, hpel_j,
+                                    mv_y, mv_x, base_y, base_x)
+        cb_y = qpel.GUARD // 2 + 8 * rr
+        cb_x = qpel.GUARD // 2 + 8 * cc
+        pred_u_inter = qpel.mc_chroma(ref_u_pad, mv_y, mv_x, cb_y, cb_x)
+        pred_v_inter = qpel.mc_chroma(ref_v_pad, mv_y, mv_x, cb_y, cb_x)
+        lev_inter, recon_y_inter = _encode_inter_luma(
+            src_y_mb, pred_y_inter, qp)
+        cdc_u_i, cac_u_i, recon_u_inter = _encode_chroma(
+            src_u_mb, pred_u_inter, qpc, INTER_DEADZONE_Q8)
+        cdc_v_i, cac_v_i, recon_v_inter = _encode_chroma(
+            src_v_mb, pred_v_inter, qpc, INTER_DEADZONE_Q8)
+    else:
+        mv_y = jnp.zeros((nmb,), jnp.int32)
+        mv_x = jnp.zeros((nmb,), jnp.int32)
+        inter_cost = jnp.full((nmb,), 1 << 30, jnp.int32)
+        lev_inter = jnp.zeros((nmb, 4, 4, 4, 4), jnp.int32)
+
+    # inter nnz per 4x4 block, needed for deblock boundary strengths
+    nnz_inter_blk = jnp.sum(lev_inter != 0, axis=(-2, -1)).astype(jnp.int32)
+    nnz_inter_pad = jnp.concatenate(
+        [nnz_inter_blk, jnp.zeros((1, 4, 4), jnp.int32)])
+    mv_y_pad = jnp.concatenate([mv_y, jnp.zeros((1,), jnp.int32)])
+    mv_x_pad = jnp.concatenate([mv_x, jnp.zeros((1,), jnp.int32)])
+
+    def _deblock_diag(didx, sel_arr, df_y, df_u, df_v):
+        """Deblock the MBs of one (lagged) diagonal: V edges then H."""
+        dmask = didx >= 0
+        ci = jnp.maximum(didx, 0)
+        r_i = ci // mb_width
+        c_i = ci % mb_width
+        li = jnp.maximum(ci - 1, 0)
+        ti = jnp.maximum(ci - mb_width, 0)
+        has_left = dmask & (c_i > 0) & avail_left[ci]
+        has_top = dmask & (r_i > 0) & avail_top[ci]
+        wi = jnp.where(dmask, ci, nmb)
+        wl = jnp.where(has_left, li, nmb)
+        wt = jnp.where(has_top, ti, nmb)
+
+        intra_cur = sel_arr[ci] != SEL_INTER
+        intra_left = sel_arr[li] != SEL_INTER
+        intra_top = sel_arr[ti] != SEL_INTER
+        nz_cur = nnz_inter_pad[ci]
+        nz_left = nnz_inter_pad[li]
+        nz_top = nnz_inter_pad[ti]
+        mvyc, mvxc = mv_y_pad[ci], mv_x_pad[ci]
+        mvyl, mvxl = mv_y_pad[li], mv_x_pad[li]
+        mvyt, mvxt = mv_y_pad[ti], mv_x_pad[ti]
+
+        def bs_sets(intra_nb, nz_nb, mvy_nb, mvx_nb, has_nb, vertical):
+            """(k, 4 edges, 4 groups) boundary strengths."""
+            k = ci.shape[0]
+            out = []
+            # edge 0: MB boundary
+            if vertical:
+                nz_p = nz_nb[:, :, 3]
+                nz_q = nz_cur[:, :, 0]
+            else:
+                nz_p = nz_nb[:, 3, :]
+                nz_q = nz_cur[:, 0, :]
+            bs0 = deblock.mb_edge_bs(
+                intra_nb[:, None], intra_cur[:, None], nz_p, nz_q,
+                mvy_nb[:, None], mvx_nb[:, None],
+                mvyc[:, None], mvxc[:, None], True)
+            out.append(jnp.where(has_nb[:, None], bs0, 0))
+            # internal edges 1..3 (same MB, same MV)
+            for e in range(1, 4):
+                if vertical:
+                    nz_p = nz_cur[:, :, e - 1]
+                    nz_q = nz_cur[:, :, e]
+                else:
+                    nz_p = nz_cur[:, e - 1, :]
+                    nz_q = nz_cur[:, e, :]
+                bse = jnp.where(intra_cur[:, None], 3,
+                                jnp.where((nz_p > 0) | (nz_q > 0), 2, 0))
+                out.append(jnp.where(dmask[:, None], bse, 0))
+            return jnp.stack(out, axis=1)
+
+        bs_v = bs_sets(intra_left, nz_left, mvyl, mvxl, has_left, True)
+        bs_h = bs_sets(intra_top, nz_top, mvyt, mvxt, has_top, False)
+
+        # ---- luma vertical ----
+        strip = jnp.concatenate(
+            [df_y[li].astype(jnp.int32), df_y[ci].astype(jnp.int32)], axis=2)
+        strip = deblock.filter_luma_v(strip, bs_v, qp)
+        df_y = df_y.at[wi].set(strip[:, :, 16:].astype(jnp.uint8),
+                               mode="drop")
+        df_y = df_y.at[wl, :, 12:16].set(
+            strip[:, :, 12:16].astype(jnp.uint8), mode="drop")
+        # ---- luma horizontal ----
+        strip = jnp.concatenate(
+            [df_y[ti].astype(jnp.int32), df_y[ci].astype(jnp.int32)], axis=1)
+        strip = deblock.filter_luma_h(strip, bs_h, qp)
+        df_y = df_y.at[wi].set(strip[:, 16:, :].astype(jnp.uint8),
+                               mode="drop")
+        df_y = df_y.at[wt, 12:16, :].set(
+            strip[:, 12:16, :].astype(jnp.uint8), mode="drop")
+
+        # ---- chroma ----
+        for df_c_name in range(2):
+            df_c = df_u if df_c_name == 0 else df_v
+            strip = jnp.concatenate(
+                [df_c[li].astype(jnp.int32), df_c[ci].astype(jnp.int32)],
+                axis=2)
+            strip = deblock.filter_chroma_v(strip, bs_v, qpc)
+            df_c = df_c.at[wi].set(strip[:, :, 8:].astype(jnp.uint8),
+                                   mode="drop")
+            df_c = df_c.at[wl, :, 6:8].set(
+                strip[:, :, 6:8].astype(jnp.uint8), mode="drop")
+            strip = jnp.concatenate(
+                [df_c[ti].astype(jnp.int32), df_c[ci].astype(jnp.int32)],
+                axis=1)
+            strip = deblock.filter_chroma_h(strip, bs_h, qpc)
+            df_c = df_c.at[wi].set(strip[:, 8:, :].astype(jnp.uint8),
+                                   mode="drop")
+            df_c = df_c.at[wt, 6:8, :].set(
+                strip[:, 6:8, :].astype(jnp.uint8), mode="drop")
+            if df_c_name == 0:
+                df_u = df_c
+            else:
+                df_v = df_c
+        return df_y, df_u, df_v
+
+    # ---------------- stage 2: wavefront scan ----------------------------
+    def step(carry, xs):
+        idx, didx = xs
+        (bot_y, right_y, bot_u, right_u, bot_v, right_v,
+         edge_modes_b, edge_modes_r,
+         sel_o, mode16_o, cmode_o, i4modes_o, i4sym_v_o, i4sym_l_o,
+         dc_lev_o, ac_lev_o, cdc_lev_o, cac_lev_o,
+         recon_y_o, recon_u_o, recon_v_o,
+         df_y, df_u, df_v) = carry
+
+        mask = idx >= 0
+        cidx = jnp.maximum(idx, 0)
+        widx = jnp.where(mask, cidx, nmb)
+        a_top = avail_top[cidx]
+        a_left = avail_left[cidx]
+        a_tl = a_top & a_left
+        r_i = cidx // mb_width
+        c_i = cidx % mb_width
+        tidx = jnp.maximum(cidx - mb_width, 0)
+        lidx = jnp.maximum(cidx - 1, 0)
+        tlidx = jnp.maximum(cidx - mb_width - 1, 0)
+        tridx = jnp.maximum(cidx - mb_width + 1, 0)
+        a_tr = a_top & (c_i < mb_width - 1)
+
+        src_y = src_y_mb[cidx]
+        src_u = src_u_mb[cidx]
+        src_v = src_v_mb[cidx]
+        k = cidx.shape[0]
+
+        top_row = bot_y[tidx]
+        left_col = right_y[lidx]
+
+        # ---- intra 16x16 candidate ----
+        preds, valid = intra.predict_16x16(top_row, left_col, a_top, a_left)
+        m16, pred_y16, cost16 = intra.select_mode(src_y, preds, valid)
+        dc_lev, ac_lev16, rec_y16 = _encode_luma_i16(src_y, pred_y16, qp)
+
+        # ---- intra 4x4 candidate ----
+        if enable_i4x4:
+            i4 = intra4.encode_i4x4_mb(
+                src_y, top_row, left_col,
+                bot_y[tlidx][:, 15], bot_y[tridx][:, :4],
+                a_top, a_left, a_tl, a_tr,
+                edge_modes_r[lidx], edge_modes_b[tidx],
+                qp, INTRA_DEADZONE_Q8, lam)
+            cost4 = i4["cost"] + lam * I4_PENALTY_BITS
+        else:
+            i4 = None
+            cost4 = jnp.full((k,), 1 << 30, jnp.int32)
+
+        # ---- chroma (intra) ----
+        preds_u, valid_c = intra.predict_chroma(
+            bot_u[tidx], right_u[lidx], a_top, a_left)
+        preds_v, _ = intra.predict_chroma(
+            bot_v[tidx], right_v[lidx], a_top, a_left)
+        ccost = (intra.sad(src_u[:, None], preds_u)
+                 + intra.sad(src_v[:, None], preds_v))
+        ccost = jnp.where(valid_c, ccost, jnp.int32(1 << 30))
+        cm = jnp.argmin(ccost, axis=1).astype(jnp.int32)
+        pred_u_i = jnp.take_along_axis(preds_u, cm[:, None, None, None],
+                                       axis=1)[:, 0]
+        pred_v_i = jnp.take_along_axis(preds_v, cm[:, None, None, None],
+                                       axis=1)[:, 0]
+        cdc_u, cac_u, rec_u_i = _encode_chroma(src_u, pred_u_i, qpc,
+                                               INTRA_DEADZONE_Q8)
+        cdc_v, cac_v, rec_v_i = _encode_chroma(src_v, pred_v_i, qpc,
+                                               INTRA_DEADZONE_Q8)
+
+        # ---- selection ----
+        icost16 = cost16 + (lam * INTRA_IN_P_PENALTY_BITS if has_inter else 0)
+        icost4 = cost4 + (lam * INTRA_IN_P_PENALTY_BITS if has_inter else 0)
+        if has_inter:
+            costs = jnp.stack([inter_cost[cidx], icost16, icost4], axis=1)
+        else:
+            costs = jnp.stack([jnp.full((k,), 1 << 30, jnp.int32),
+                               icost16, icost4], axis=1)
+        sel = jnp.argmin(costs, axis=1).astype(jnp.int32)
+
+        is_i4 = sel == SEL_I4
+        is_intra = sel != SEL_INTER
+        rec_y_intra = jnp.where(is_i4[:, None, None], i4["recon"], rec_y16) \
+            if enable_i4x4 else rec_y16
+        if has_inter:
+            rec_y = jnp.where(is_intra[:, None, None], rec_y_intra,
+                              recon_y_inter[cidx])
+            rec_u = jnp.where(is_intra[:, None, None], rec_u_i,
+                              recon_u_inter[cidx])
+            rec_v = jnp.where(is_intra[:, None, None], rec_v_i,
+                              recon_v_inter[cidx])
+            cdc_sel = jnp.where(is_intra[:, None, None, None],
+                                jnp.stack([cdc_u, cdc_v], 1),
+                                jnp.stack([cdc_u_i[cidx], cdc_v_i[cidx]], 1))
+            cac_sel = jnp.where(is_intra[:, None, None, None, None, None],
+                                jnp.stack([cac_u, cac_v], 1),
+                                jnp.stack([cac_u_i[cidx], cac_v_i[cidx]], 1))
+        else:
+            rec_y, rec_u, rec_v = rec_y_intra, rec_u_i, rec_v_i
+            cdc_sel = jnp.stack([cdc_u, cdc_v], 1)
+            cac_sel = jnp.stack([cac_u, cac_v], 1)
+
+        # i4x4 edge-mode context for later MBs (2 = DC when not i4x4)
+        if enable_i4x4:
+            em_b = jnp.where(is_i4[:, None], i4["modes"][:, 12:16], 2)
+            em_r = jnp.where(is_i4[:, None], i4["modes"][:, 3::4], 2)
+            i4_modes = i4["modes"]
+            i4_sv = i4["mode_sym_val"]
+            i4_sl = i4["mode_sym_len"]
+            i4_lev = i4["levels"]
+        else:
+            em_b = jnp.full((k, 4), 2, jnp.int32)
+            em_r = jnp.full((k, 4), 2, jnp.int32)
+            i4_modes = jnp.full((k, 16), 2, jnp.int32)
+            i4_sv = jnp.zeros((k, 16), jnp.uint32)
+            i4_sl = jnp.zeros((k, 16), jnp.int32)
+            i4_lev = jnp.zeros((k, 4, 4, 4, 4), jnp.int32)
+
+        # ac levels: for i4 MBs store the i4 full-coeff levels
+        ac_store = jnp.where(is_i4[:, None, None, None, None], i4_lev,
+                             ac_lev16) if enable_i4x4 else ac_lev16
+
+        carry = (
+            bot_y.at[widx].set(rec_y[:, -1, :], mode="drop"),
+            right_y.at[widx].set(rec_y[:, :, -1], mode="drop"),
+            bot_u.at[widx].set(rec_u[:, -1, :], mode="drop"),
+            right_u.at[widx].set(rec_u[:, :, -1], mode="drop"),
+            bot_v.at[widx].set(rec_v[:, -1, :], mode="drop"),
+            right_v.at[widx].set(rec_v[:, :, -1], mode="drop"),
+            edge_modes_b.at[widx].set(em_b, mode="drop"),
+            edge_modes_r.at[widx].set(em_r, mode="drop"),
+            sel_o.at[widx].set(sel, mode="drop"),
+            mode16_o.at[widx].set(m16, mode="drop"),
+            cmode_o.at[widx].set(cm, mode="drop"),
+            i4modes_o.at[widx].set(i4_modes, mode="drop"),
+            i4sym_v_o.at[widx].set(i4_sv, mode="drop"),
+            i4sym_l_o.at[widx].set(i4_sl, mode="drop"),
+            dc_lev_o.at[widx].set(dc_lev, mode="drop"),
+            ac_lev_o.at[widx].set(ac_store, mode="drop"),
+            cdc_lev_o.at[widx].set(cdc_sel, mode="drop"),
+            cac_lev_o.at[widx].set(cac_sel, mode="drop"),
+            recon_y_o.at[widx].set(rec_y, mode="drop"),
+            recon_u_o.at[widx].set(rec_u, mode="drop"),
+            recon_v_o.at[widx].set(rec_v, mode="drop"),
+        )
+
+        df_y2 = df_y.at[widx].set(rec_y, mode="drop")
+        df_u2 = df_u.at[widx].set(rec_u, mode="drop")
+        df_v2 = df_v.at[widx].set(rec_v, mode="drop")
+        if enable_deblock:
+            sel_now = carry[8]
+            df_y2, df_u2, df_v2 = _deblock_diag(
+                didx, sel_now, df_y2, df_u2, df_v2)
+        carry = carry + (df_y2, df_u2, df_v2)
+        return carry, None
+
+    init = (
+        jnp.zeros((nmb, 16), jnp.uint8), jnp.zeros((nmb, 16), jnp.uint8),
+        jnp.zeros((nmb, 8), jnp.uint8), jnp.zeros((nmb, 8), jnp.uint8),
+        jnp.zeros((nmb, 8), jnp.uint8), jnp.zeros((nmb, 8), jnp.uint8),
+        jnp.full((nmb, 4), 2, jnp.int32), jnp.full((nmb, 4), 2, jnp.int32),
+        jnp.zeros((nmb,), jnp.int32),
+        jnp.zeros((nmb,), jnp.int32), jnp.zeros((nmb,), jnp.int32),
+        jnp.full((nmb, 16), 2, jnp.int32),
+        jnp.zeros((nmb, 16), jnp.uint32), jnp.zeros((nmb, 16), jnp.int32),
+        jnp.zeros((nmb, 4, 4), jnp.int32),
+        jnp.zeros((nmb, 4, 4, 4, 4), jnp.int32),
+        jnp.zeros((nmb, 2, 2, 2), jnp.int32),
+        jnp.zeros((nmb, 2, 2, 2, 4, 4), jnp.int32),
+        jnp.zeros((nmb, 16, 16), jnp.uint8),
+        jnp.zeros((nmb, 8, 8), jnp.uint8),
+        jnp.zeros((nmb, 8, 8), jnp.uint8),
+    )
+    carry, _ = jax.lax.scan(step, init, steps)
+    (_, _, _, _, _, _, _, _, sel, mode16, cmode, i4modes, i4sym_v, i4sym_l,
+     dc_lev, ac_lev, cdc_lev, cac_lev, recon_y, recon_u, recon_v) = carry
+
+    mv_y = jnp.where(sel != SEL_INTER, 0, mv_y)
+    mv_x = jnp.where(sel != SEL_INTER, 0, mv_x)
+
+    out = symbolize(sel, mode16, cmode, i4modes, i4sym_v, i4sym_l,
+                    mv_y, mv_x, dc_lev, ac_lev, lev_inter, cdc_lev, cac_lev,
+                    mb_width, mb_height, has_inter)
+    out.update(dict(recon_y=recon_y, recon_u=recon_u, recon_v=recon_v,
+                    mv_y=mv_y, mv_x=mv_x, sel=sel))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# post-scan symbolization
+# ---------------------------------------------------------------------------
+
+def _block_nc(nnz_grid, gw, gh, blk_avail_left, blk_avail_top):
+    na = jnp.pad(nnz_grid, ((0, 0), (1, 0)))[:, :gw]
+    nb = jnp.pad(nnz_grid, ((1, 0), (0, 0)))[:gh, :]
+    both = blk_avail_left & blk_avail_top
+    return jnp.where(both, (na + nb + 1) >> 1,
+                     jnp.where(blk_avail_left, na,
+                               jnp.where(blk_avail_top, nb, 0)))
+
+
+def _median3(a, b, c):
+    return jnp.maximum(jnp.minimum(jnp.maximum(a, b), c),
+                       jnp.minimum(a, b))
+
+
+def _neighbor_shift(arr2d, dy, dx, fill):
+    a = jnp.roll(arr2d, (dy, dx), axis=(0, 1))
+    mbh, mbw = arr2d.shape[0], arr2d.shape[1]
+    r = jax.lax.broadcasted_iota(jnp.int32, (mbh, mbw), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (mbh, mbw), 1)
+    ok = ((r - dy) >= 0) & ((r - dy) < mbh) & \
+         ((c - dx) >= 0) & ((c - dx) < mbw)
+    return jnp.where(ok, a, fill), ok
+
+
+def _mv_predictors(mv_y, mv_x, is_intra, mb_width, mb_height):
+    """Spec 8.4.1.3 median + 8.4.1.1 P_Skip predictors (16x16, 1 ref)."""
+    mbh, mbw = mb_height, mb_width
+    my = mv_y.reshape(mbh, mbw)
+    mx = mv_x.reshape(mbh, mbw)
+    intra2d = is_intra.reshape(mbh, mbw)
+
+    def nb(dy, dx):
+        sy, _ = _neighbor_shift(my, dy, dx, 0)
+        sx, _ = _neighbor_shift(mx, dy, dx, 0)
+        ii, avail = _neighbor_shift(intra2d, dy, dx, True)
+        ref0 = avail & ~ii
+        return (jnp.where(ref0, sy, 0), jnp.where(ref0, sx, 0), ref0, avail)
+
+    ay, ax, aref, aav = nb(0, 1)
+    by, bx, bref, bav = nb(1, 0)
+    cy_, cx_, cref, cav = nb(1, -1)
+    dy_, dx_, dref, dav = nb(1, 1)
+    cy_ = jnp.where(cav, cy_, dy_)
+    cx_ = jnp.where(cav, cx_, dx_)
+    cref = jnp.where(cav, cref, dref)
+    cav2 = cav | dav
+
+    subst = (~bav) & (~cav2) & aav
+    by = jnp.where(subst, ay, by)
+    bx = jnp.where(subst, ax, bx)
+    bref = jnp.where(subst, aref, bref)
+    cy_ = jnp.where(subst, ay, cy_)
+    cx_ = jnp.where(subst, ax, cx_)
+    cref = jnp.where(subst, aref, cref)
+
+    cnt = (aref.astype(jnp.int32) + bref.astype(jnp.int32)
+           + cref.astype(jnp.int32))
+    only_a = (cnt == 1) & aref
+    only_b = (cnt == 1) & bref
+    only_c = (cnt == 1) & cref
+    mvp_y = jnp.where(only_a, ay, jnp.where(only_b, by,
+                      jnp.where(only_c, cy_, _median3(ay, by, cy_))))
+    mvp_x = jnp.where(only_a, ax, jnp.where(only_b, bx,
+                      jnp.where(only_c, cx_, _median3(ax, bx, cx_))))
+
+    a_zero = aref & (ay == 0) & (ax == 0)
+    b_zero = bref & (by == 0) & (bx == 0)
+    force0 = (~aav) | (~bav) | a_zero | b_zero
+    skip_y = jnp.where(force0, 0, mvp_y)
+    skip_x = jnp.where(force0, 0, mvp_x)
+    return (mvp_y.reshape(-1), mvp_x.reshape(-1),
+            skip_y.reshape(-1), skip_x.reshape(-1))
+
+
+def symbolize(sel, mode16, cmode, i4modes, i4sym_v, i4sym_l,
+              mv_y, mv_x, dc_lev, ac_lev, lev_inter, cdc_lev, cac_lev,
+              mb_width: int, mb_height: int, has_inter: bool):
+    """CAVLC + syntax symbol assembly for one slice (I or P)."""
+    nmb = mb_width * mb_height
+    ns = cavlc.N_SLOTS
+    is_inter = sel == SEL_INTER
+    is_i16 = sel == SEL_I16
+    is_i4 = sel == SEL_I4
+    is_intra = ~is_inter
+
+    # ---- nnz and cbp ------------------------------------------------------
+    # ac_lev holds: i16 AC levels (DC zeroed) for i16 MBs, i4 full levels
+    # for i4 MBs; lev_inter holds inter full levels.
+    nnz_intra = jnp.sum(ac_lev != 0, axis=(-2, -1))            # (nmb,4,4)
+    nnz_inter = jnp.sum(lev_inter != 0, axis=(-2, -1))
+    cdc_nnz = jnp.sum(cdc_lev != 0, axis=(-2, -1))
+    cac_nnz = jnp.sum(cac_lev != 0, axis=(-2, -1))
+
+    def group_bits(nnz):
+        grp = nnz.reshape(nmb, 2, 2, 2, 2).transpose(0, 1, 3, 2, 4)
+        gnz = jnp.sum(grp, axis=(3, 4)) > 0
+        return (gnz[:, 0, 0].astype(jnp.int32) + 2 * gnz[:, 0, 1]
+                + 4 * gnz[:, 1, 0] + 8 * gnz[:, 1, 1])
+
+    cbpl_i16 = (jnp.sum(nnz_intra, axis=(1, 2)) > 0)           # all-or-none
+    cbpl_i4 = group_bits(nnz_intra)
+    cbpl_inter = group_bits(nnz_inter)
+    any_cac = jnp.sum(cac_nnz, axis=(1, 2, 3)) > 0
+    any_cdc = jnp.sum(cdc_nnz, axis=1) > 0
+    cbpc = jnp.where(any_cac, 2, jnp.where(any_cdc, 1, 0)).astype(jnp.int32)
+
+    cbp_luma = jnp.where(is_i4, cbpl_i4,
+                         jnp.where(is_inter, cbpl_inter,
+                                   jnp.where(cbpl_i16, 15, 0)))
+    cbp = cbp_luma + (cbpc << 4)
+
+    # ---- predictors, skip (P) --------------------------------------------
+    if has_inter:
+        mvp_y, mvp_x, skip_y, skip_x = _mv_predictors(
+            mv_y, mv_x, is_intra, mb_width, mb_height)
+        mvd_y = mv_y - mvp_y
+        mvd_x = mv_x - mvp_x
+        skip = is_inter & (cbp == 0) & (mv_y == skip_y) & (mv_x == skip_x)
+    else:
+        mvd_y = jnp.zeros((nmb,), jnp.int32)
+        mvd_x = jnp.zeros((nmb,), jnp.int32)
+        skip = jnp.zeros((nmb,), bool)
+    coded = ~skip
+
+    # ---- coded nnz for nC contexts ---------------------------------------
+    luma_nnz = jnp.where(
+        is_inter[:, None, None], nnz_inter,
+        jnp.where(is_i4[:, None, None], nnz_intra,
+                  jnp.where(cbpl_i16[:, None, None], nnz_intra, 0)))
+    luma_nnz = jnp.where(skip[:, None, None], 0, luma_nnz)
+    cac_nnz_coded = jnp.where((cbpc == 2)[:, None, None, None], cac_nnz, 0)
+    cac_nnz_coded = jnp.where(skip[:, None, None, None], 0, cac_nnz_coded)
+
+    gw, gh = 4 * mb_width, 4 * mb_height
+    lgrid = (luma_nnz.reshape(mb_height, mb_width, 4, 4)
+             .transpose(0, 2, 1, 3).reshape(gh, gw))
+    bxg = jax.lax.broadcasted_iota(jnp.int32, (gh, gw), 1)
+    byg = jax.lax.broadcasted_iota(jnp.int32, (gh, gw), 0)
+    nc_grid = _block_nc(lgrid, gw, gh, bxg > 0, byg > 0)
+    nc_luma = (nc_grid.reshape(mb_height, 4, mb_width, 4)
+               .transpose(0, 2, 1, 3).reshape(nmb, 4, 4))
+
+    cgw, cgh = 2 * mb_width, 2 * mb_height
+    cbx = jax.lax.broadcasted_iota(jnp.int32, (cgh, cgw), 1)
+    cby = jax.lax.broadcasted_iota(jnp.int32, (cgh, cgw), 0)
+    ncc = []
+    for p in range(2):
+        cgrid = (cac_nnz_coded[:, p].reshape(mb_height, mb_width, 2, 2)
+                 .transpose(0, 2, 1, 3).reshape(cgh, cgw))
+        g = _block_nc(cgrid, cgw, cgh, cbx > 0, cby > 0)
+        ncc.append(g.reshape(mb_height, 2, mb_width, 2)
+                   .transpose(0, 2, 1, 3).reshape(nmb, 2, 2))
+    nc_chroma = jnp.stack(ncc, axis=1)
+
+    # ---- CAVLC ------------------------------------------------------------
+    # luma DC (i16 only)
+    dc_scan = dc_lev.reshape(nmb, 16)[:, _ZZ]
+    dc_vals, dc_lens, _ = cavlc.encode_blocks(dc_scan, nc_luma[:, 0, 0], 16)
+    dc_lens = jnp.where(is_i16[:, None], dc_lens, 0)
+
+    # luma AC-15 view (i16)
+    aci = ac_lev.reshape(nmb * 16, 16)[:, _ZZ][:, 1:]
+    aci = jnp.pad(aci, ((0, 0), (0, 1)))
+    vi, li, _ = cavlc.encode_blocks(aci, nc_luma.reshape(nmb * 16), 15)
+    vi = vi.reshape(nmb, 16, ns)
+    li = li.reshape(nmb, 16, ns)
+    li = jnp.where((is_i16 & cbpl_i16)[:, None, None], li, 0)
+
+    # luma full-16 view (inter + i4)
+    full_lev = jnp.where(is_inter[:, None, None, None, None],
+                         lev_inter, ac_lev)
+    acn = full_lev.reshape(nmb * 16, 16)[:, _ZZ]
+    vn, ln, _ = cavlc.encode_blocks(acn, nc_luma.reshape(nmb * 16), 16)
+    vn = vn.reshape(nmb, 16, ns)
+    ln = ln.reshape(nmb, 16, ns)
+    bb = jnp.arange(16) // 4
+    bc = jnp.arange(16) % 4
+    grp_of_block = (bb // 2) * 2 + (bc // 2)
+    bit = (cbp_luma[:, None] >> grp_of_block[None, :]) & 1
+    ln = jnp.where(((is_inter | is_i4) & coded)[:, None, None]
+                   & (bit > 0)[:, :, None], ln, 0)
+
+    luma_vals = jnp.where(is_i16[:, None, None], vi, vn)
+    luma_lens = jnp.where(is_i16[:, None, None], li, ln)
+
+    # chroma DC
+    cdc_scan = cdc_lev.reshape(nmb * 2, 4)
+    cdc_scan = jnp.pad(cdc_scan, ((0, 0), (0, 12)))
+    cdc_vals, cdc_lens, _ = cavlc.encode_blocks(
+        cdc_scan, jnp.full((nmb * 2,), -1, jnp.int32), 4)
+    cdc_vals = cdc_vals.reshape(nmb, 2, ns)
+    cdc_lens = cdc_lens.reshape(nmb, 2, ns)
+    cdc_lens = jnp.where(((cbpc >= 1) & coded)[:, None, None], cdc_lens, 0)
+
+    # chroma AC
+    cacf = cac_lev.reshape(nmb * 8, 16)[:, _ZZ][:, 1:]
+    cacf = jnp.pad(cacf, ((0, 0), (0, 1)))
+    cac_vals, cac_lens, _ = cavlc.encode_blocks(
+        cacf, nc_chroma.reshape(nmb * 8), 15)
+    cac_vals = cac_vals.reshape(nmb, 8, ns)
+    cac_lens = cac_lens.reshape(nmb, 8, ns)
+    cac_lens = jnp.where(((cbpc == 2) & coded)[:, None, None], cac_lens, 0)
+
+    # ---- header symbols ---------------------------------------------------
+    i16code = 1 + mode16 + 4 * cbpc + 12 * cbpl_i16.astype(jnp.int32)
+    if has_inter:
+        skip_i = skip.astype(jnp.int32)
+        s_cum = jnp.cumsum(skip_i)
+        s_excl = s_cum - skip_i
+        marker = jnp.where(coded, s_cum, -1)
+        run_base = jax.lax.associative_scan(jnp.maximum, marker)
+        run_base_prev = jnp.concatenate(
+            [jnp.zeros(1, jnp.int32), jnp.maximum(run_base[:-1], 0)])
+        skip_run = jnp.where(coded, s_excl - run_base_prev, 0)
+        sr_v, sr_l = _ue_codes(jnp.maximum(skip_run, 0))
+        sr_l = jnp.where(coded, sr_l, 0)
+        trailing = s_cum[-1] - jnp.maximum(jnp.max(marker), 0)
+        tr_v, tr_l = _ue_codes(jnp.maximum(trailing, 0))
+        tr_l = jnp.where(trailing > 0, tr_l, 0)
+        mb_type_val = jnp.where(is_inter, 0,
+                                jnp.where(is_i4, 5, 5 + i16code))
+    else:
+        sr_v = jnp.zeros((nmb,), jnp.uint32)
+        sr_l = jnp.zeros((nmb,), jnp.int32)
+        tr_v = jnp.zeros((), jnp.uint32)
+        tr_l = jnp.zeros((), jnp.int32)
+        mb_type_val = jnp.where(is_i4, 0, i16code)
+
+    mt_v, mt_l = _ue_codes(mb_type_val)
+    mt_l = jnp.where(coded, mt_l, 0)
+
+    mvdx_v, mvdx_l = _se_codes(mvd_x)
+    mvdy_v, mvdy_l = _se_codes(mvd_y)
+    inter_coded = coded & is_inter
+    mvdx_l = jnp.where(inter_coded, mvdx_l, 0)
+    mvdy_l = jnp.where(inter_coded, mvdy_l, 0)
+
+    # i4 mode symbols (16 slots, only for i4 MBs)
+    i4sym_l = jnp.where(is_i4[:, None], i4sym_l, 0)
+
+    cm_v, cm_l = _ue_codes(cmode)
+    cm_l = jnp.where(coded & is_intra, cm_l, 0)
+
+    cbp_code = jnp.where(is_i4, _CBP_INTRA_CODE[jnp.clip(cbp, 0, 47)],
+                         _CBP_INTER_CODE[jnp.clip(cbp, 0, 47)])
+    cbpv, cbpl_ = _ue_codes(cbp_code)
+    cbpl_ = jnp.where(coded & (is_inter | is_i4), cbpl_, 0)
+
+    dqp_needed = coded & (is_i16 | (cbp != 0))
+    dqp_v = jnp.ones((nmb,), jnp.uint32)
+    dqp_l = jnp.where(dqp_needed, 1, 0)
+
+    hdr_vals = jnp.concatenate([
+        sr_v[:, None], mt_v[:, None], i4sym_v.astype(jnp.uint32),
+        mvdx_v[:, None], mvdy_v[:, None], cm_v[:, None],
+        cbpv[:, None], dqp_v[:, None]], axis=1)
+    hdr_lens = jnp.concatenate([
+        sr_l[:, None], mt_l[:, None], i4sym_l,
+        mvdx_l[:, None], mvdy_l[:, None], cm_l[:, None],
+        cbpl_[:, None], dqp_l[:, None]], axis=1)
+
+    # ---- assembly ---------------------------------------------------------
+    sym_vals = jnp.concatenate([
+        hdr_vals.astype(jnp.uint32),
+        dc_vals,
+        luma_vals[:, _BLOCK_SCAN].reshape(nmb, 16 * ns),
+        cdc_vals.reshape(nmb, 2 * ns),
+        cac_vals.reshape(nmb, 8 * ns),
+    ], axis=1).ravel()
+    sym_lens = jnp.concatenate([
+        hdr_lens,
+        dc_lens,
+        luma_lens[:, _BLOCK_SCAN].reshape(nmb, 16 * ns),
+        cdc_lens.reshape(nmb, 2 * ns),
+        cac_lens.reshape(nmb, 8 * ns),
+    ], axis=1).ravel()
+    if has_inter:
+        sym_vals = jnp.concatenate([sym_vals, tr_v[None]])
+        sym_lens = jnp.concatenate([sym_lens, tr_l[None]])
+
+    return dict(sym_vals=sym_vals, sym_lens=sym_lens,
+                total_bits=jnp.sum(sym_lens).astype(jnp.int32),
+                skip=skip, cbp=cbp, cbpc=cbpc,
+                mvd_y=mvd_y, mvd_x=mvd_x)
+
+
+encode_frame = jax.jit(
+    encode_frame_core,
+    static_argnames=("mb_width", "mb_height", "has_inter", "enable_i4x4"))
+
+
+def encode_intra_core(src_y_mb, src_u_mb, src_v_mb, qp, qpc,
+                      steps, avail_top, avail_left,
+                      mb_width: int, mb_height: int,
+                      enable_i4x4: bool = True):
+    """I-frame/slice entry: unified scan without the inter path.
+    vmap-able over leading batch axes (see h264lab_tpu.parallel)."""
+    dummy = jnp.zeros((8, 8), jnp.uint8)
+    return encode_frame_core(
+        src_y_mb, src_u_mb, src_v_mb,
+        dummy, dummy, dummy, dummy, dummy, dummy, dummy,
+        qp, qpc, steps, avail_top, avail_left,
+        mb_width, mb_height, has_inter=False, enable_i4x4=enable_i4x4)
+
+
+encode_intra_frame = jax.jit(
+    encode_intra_core,
+    static_argnames=("mb_width", "mb_height", "enable_i4x4"))

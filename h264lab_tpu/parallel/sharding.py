@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from h264lab_tpu.models import intra_frame, wavefront
+from h264lab_tpu.models import mbscan, wavefront
 
 
 def make_mesh(n_gop: int, n_band: int, devices=None) -> Mesh:
@@ -40,7 +40,7 @@ def make_mesh(n_gop: int, n_band: int, devices=None) -> Mesh:
 def _batched_core(src_y, src_u, src_v, qp, qpc, steps, avail_top, avail_left,
                   mb_width: int, mb_height: int):
     """vmap the per-slice intra core over (gop, band) batch axes."""
-    f = functools.partial(intra_frame.encode_intra_core,
+    f = functools.partial(mbscan.encode_intra_core,
                           mb_width=mb_width, mb_height=mb_height)
     over_band = jax.vmap(f, in_axes=(0, 0, 0, None, None, None, None, None))
     over_gop = jax.vmap(over_band,
@@ -65,7 +65,7 @@ class ShardedIntraEncoder:
         self.mesh = mesh
         self.mb_width = mb_width
         self.band_mb_rows = band_mb_rows
-        plan = wavefront.make_plan(mb_width, band_mb_rows, slope=1)
+        plan = wavefront.make_plan(mb_width, band_mb_rows, slope=2)
         self._steps = jnp.asarray(plan.steps)
         nmb = mb_width * band_mb_rows
         r = np.arange(nmb) // mb_width
