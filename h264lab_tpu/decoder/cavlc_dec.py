@@ -145,9 +145,20 @@ def decode_block(br: BitReader, nc: int, max_coeff: int):
     return levels, total
 
 
-def scan_to_raster4x4(levels_scan):
-    """16 zig-zag levels -> 4x4 raster array (list of 16)."""
+_TRANSPOSED_RASTER = [(i % 4) * 4 + i // 4 for i in range(16)]
+
+
+def scan_to_raster4x4(levels_scan, scan="zigzag"):
+    """Coded-order levels -> 4x4 raster array (list of 16).
+
+    scan="zigzag" is the normative H.264 scan. scan="transposed_raster"
+    matches the reference fork's non-standard coefficient order (its
+    quantizer skips the zig-zag and stores blocks transposed:
+    `src/h264-lab.h:2253-2254` UNZIGSAG_IN_QUANT=0 + TRANSPOSE_BLOCK=1),
+    used to cross-validate this decoder against that encoder's recon.
+    """
+    order = ZIGZAG_4x4 if scan == "zigzag" else _TRANSPOSED_RASTER
     out = [0] * 16
     for i, v in enumerate(levels_scan):
-        out[int(ZIGZAG_4x4[i])] = v
+        out[int(order[i])] = v
     return out

@@ -18,7 +18,7 @@ import numpy as np
 
 from h264lab_tpu.bitstream.nal import split_annexb, unescape_rbsp
 from h264lab_tpu.decoder.bitreader import BitReader
-from h264lab_tpu.decoder import cavlc_dec, interpolate
+from h264lab_tpu.decoder import cavlc_dec, deblock_dec, interpolate
 from h264lab_tpu.ops.tables import (
     CBP_TO_CODENUM, QPC_FROM_QPY, BLOCK_SCAN_4x4, DEQUANT_V, POS_CLASS,
 )
@@ -179,7 +179,9 @@ class DecodedFrame:
 class H264Decoder:
     """Stateful stream decoder. Feed NAL units via `decode(stream)`."""
 
-    def __init__(self):
+    def __init__(self, coeff_scan: str = "zigzag"):
+        # "zigzag" (normative) or "transposed_raster" (reference-fork compat)
+        self.coeff_scan = coeff_scan
         self.sps: Sps | None = None
         self.pps: Pps | None = None
         self.frames: list[DecodedFrame] = []
@@ -192,6 +194,9 @@ class H264Decoder:
         self._mv = None             # (mbh, mbw, 2) int32 (y, x)
         self._ref_planes = None     # (luma planes tuple, u_pad, v_pad)
         self._i4_modes = None       # (4*mbh, 4*mbw) int32, -1 = not i4x4
+        self._mb_qp = None          # (mbh, mbw) int32
+        self._n_decoded = 0
+        self._deblock_enabled = True
 
     # ---------------- public ----------------
     def decode(self, stream: bytes) -> list[DecodedFrame]:
@@ -260,8 +265,15 @@ class H264Decoder:
 
         if first_mb == 0:
             self._start_picture(slice_type == 0)
+        self._deblock_enabled = disable_deblock != 1
         self._parse_slice_data(br, slice_type, first_mb, slice_qp,
                                disable_deblock)
+        if self._n_decoded >= sps.mb_width * sps.mb_height \
+                and self._deblock_enabled:
+            deblock_dec.deblock_picture(
+                self._cur, self._mb_intra, self._mb_avail, self._mv,
+                self._nnz_luma, self._mb_qp,
+                sps.mb_width, sps.mb_height, self.pps.chroma_qp_index_offset)
 
     def _start_picture(self, is_p: bool):
         sps = self.sps
@@ -284,6 +296,8 @@ class H264Decoder:
         self._mv = np.zeros((sps.mb_height, sps.mb_width, 2), np.int32)
         self._i4_modes = np.full((4 * sps.mb_height, 4 * sps.mb_width), -1,
                                  np.int32)
+        self._mb_qp = np.zeros((sps.mb_height, sps.mb_width), np.int32)
+        self._n_decoded = 0
         self.frames.append(self._cur)
 
     # ---------------- macroblocks ----------------
@@ -305,7 +319,7 @@ class H264Decoder:
                 for _ in range(skip_run):
                     if mb >= nmb:
                         raise ValueError("skip run past end of picture")
-                    self._decode_skip_mb(mb)
+                    self._decode_skip_mb(mb, qp)
                     mb += 1
                 if mb >= nmb or not br.more_rbsp_data():
                     break
@@ -379,7 +393,7 @@ class H264Decoder:
         # DC block
         nc = self._nc_luma(4 * r, 4 * c, slice_start_mb)
         dc_scan, _ = cavlc_dec.decode_block(br, nc, 16)
-        dc_raster = np.array(cavlc_dec.scan_to_raster4x4(dc_scan),
+        dc_raster = np.array(cavlc_dec.scan_to_raster4x4(dc_scan, self.coeff_scan),
                              np.int64).reshape(4, 4)
         dc_deq = dequant_luma_dc(dc_raster, qp)
 
@@ -394,7 +408,7 @@ class H264Decoder:
                 lv_scan, total = cavlc_dec.decode_block(br, nc, 15)
                 nnz_store[bb, bc] = total
                 self._nnz_luma[4 * r + bb, 4 * c + bc] = total
-                lv = np.array(cavlc_dec.scan_to_raster4x4([0] + lv_scan),
+                lv = np.array(cavlc_dec.scan_to_raster4x4([0] + lv_scan, self.coeff_scan),
                               np.int64).reshape(4, 4)
                 blocks[int(k)] = lv
         else:
@@ -437,7 +451,7 @@ class H264Decoder:
                     nc = self._nc_chroma(plane_idx, 2 * r + bb, 2 * c + bc)
                     lv_scan, total = cavlc_dec.decode_block(br, nc, 15)
                     self._nnz_chroma[plane_idx, 2 * r + bb, 2 * c + bc] = total
-                    lv = np.array(cavlc_dec.scan_to_raster4x4([0] + lv_scan),
+                    lv = np.array(cavlc_dec.scan_to_raster4x4([0] + lv_scan, self.coeff_scan),
                                   np.int64).reshape(4, 4)
                 else:
                     self._nnz_chroma[plane_idx, 2 * r + bb, 2 * c + bc] = 0
@@ -452,6 +466,8 @@ class H264Decoder:
         self._mb_intra[r, c] = True
         self._mb_avail[r, c] = True
         self._mv[r, c] = 0
+        self._mb_qp[r, c] = qp
+        self._n_decoded += 1
         return qp
 
     # ---------------- intra 4x4 ----------------
@@ -471,9 +487,15 @@ class H264Decoder:
         for b in BLOCK_SCAN_4x4:
             bi, bj = divmod(int(b), 4)
             gy, gx = 4 * r + bi, 4 * c + bj
-            ma = gm[gy, gx - 1] if gx > 0 else -1
-            mbm = gm[gy - 1, gx] if gy > 0 else -1
-            pred = 2 if (ma < 0 or mbm < 0) else min(int(ma), int(mbm))
+            # spec 8.3.1.1: neighbour block outside the picture forces DC;
+            # an available non-Intra4x4 neighbour (gm == -1) counts as DC
+            # inside the min
+            if gx == 0 or gy == 0:
+                pred = 2
+            else:
+                ma = int(gm[gy, gx - 1])
+                mbm = int(gm[gy - 1, gx])
+                pred = min(2 if ma < 0 else ma, 2 if mbm < 0 else mbm)
             if br.u1():
                 mode = pred
             else:
@@ -522,7 +544,7 @@ class H264Decoder:
                 nc = self._nc_luma(4 * r + bi, 4 * c + bj, 0)
                 lv_scan, total = cavlc_dec.decode_block(br, nc, 16)
                 self._nnz_luma[4 * r + bi, 4 * c + bj] = total
-                lv = np.array(cavlc_dec.scan_to_raster4x4(lv_scan),
+                lv = np.array(cavlc_dec.scan_to_raster4x4(lv_scan, self.coeff_scan),
                               np.int64).reshape(4, 4)
                 res = idct4x4_core(dequant4x4(lv, qp))
             else:
@@ -557,7 +579,7 @@ class H264Decoder:
                     nc = self._nc_chroma(plane_idx, 2 * r + bb, 2 * c + bc)
                     lv_scan, total = cavlc_dec.decode_block(br, nc, 15)
                     self._nnz_chroma[plane_idx, 2 * r + bb, 2 * c + bc] = total
-                    lv = np.array(cavlc_dec.scan_to_raster4x4([0] + lv_scan),
+                    lv = np.array(cavlc_dec.scan_to_raster4x4([0] + lv_scan, self.coeff_scan),
                                   np.int64).reshape(4, 4)
                 else:
                     self._nnz_chroma[plane_idx, 2 * r + bb, 2 * c + bc] = 0
@@ -572,6 +594,8 @@ class H264Decoder:
         self._mb_intra[r, c] = True
         self._mb_avail[r, c] = True
         self._mv[r, c] = 0
+        self._mb_qp[r, c] = qp
+        self._n_decoded += 1
         return qp
 
     @staticmethod
@@ -643,7 +667,7 @@ class H264Decoder:
                                          g // 2 + 8 * c, int(mv[0]), int(mv[1]))
         return py, pu, pv
 
-    def _decode_skip_mb(self, mb: int):
+    def _decode_skip_mb(self, mb: int, qp: int):
         sps = self.sps
         r, c = divmod(mb, sps.mb_width)
         mv = self._skip_mv(r, c)
@@ -656,6 +680,8 @@ class H264Decoder:
         self._mb_avail[r, c] = True
         self._nnz_luma[4 * r:4 * r + 4, 4 * c:4 * c + 4] = 0
         self._nnz_chroma[:, 2 * r:2 * r + 2, 2 * c:2 * c + 2] = 0
+        self._mb_qp[r, c] = qp
+        self._n_decoded += 1
 
     def _decode_p_mb(self, br: BitReader, mb: int, mb_type: int,
                      qp: int) -> int:
@@ -690,7 +716,7 @@ class H264Decoder:
                 nc = self._nc_luma(4 * r + bb, 4 * c + bc, 0)
                 lv_scan, total = cavlc_dec.decode_block(br, nc, 16)
                 self._nnz_luma[4 * r + bb, 4 * c + bc] = total
-                lv = np.array(cavlc_dec.scan_to_raster4x4(lv_scan),
+                lv = np.array(cavlc_dec.scan_to_raster4x4(lv_scan, self.coeff_scan),
                               np.int64).reshape(4, 4)
                 res = idct4x4_core(dequant4x4(lv, qp))
                 blk = recon[4 * bb:4 * bb + 4, 4 * bc:4 * bc + 4]
@@ -719,7 +745,7 @@ class H264Decoder:
                     nc = self._nc_chroma(plane_idx, 2 * r + bb, 2 * c + bc)
                     lv_scan, total = cavlc_dec.decode_block(br, nc, 15)
                     self._nnz_chroma[plane_idx, 2 * r + bb, 2 * c + bc] = total
-                    lv = np.array(cavlc_dec.scan_to_raster4x4([0] + lv_scan),
+                    lv = np.array(cavlc_dec.scan_to_raster4x4([0] + lv_scan, self.coeff_scan),
                                   np.int64).reshape(4, 4)
                 else:
                     self._nnz_chroma[plane_idx, 2 * r + bb, 2 * c + bc] = 0
@@ -730,6 +756,8 @@ class H264Decoder:
                 pc = cpred[4 * bb:4 * bb + 4, 4 * bc:4 * bc + 4].astype(np.int64)
                 crec[4 * bb:4 * bb + 4, 4 * bc:4 * bc + 4] = clip255(res + pc)
             plane[8 * r:8 * r + 8, 8 * c:8 * c + 8] = crec.astype(np.uint8)
+        self._mb_qp[r, c] = qp
+        self._n_decoded += 1
         return qp
 
     # ---------------- predictions ----------------

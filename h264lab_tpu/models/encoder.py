@@ -27,7 +27,8 @@ class FrameResult:
     payload: bytes                  # Annex-B bytes for this frame
     frame_type: str                 # "IDR" | "I" | "P"
     qp: int
-    recon: tuple | None = None      # (y, u, v) numpy planes if requested
+    recon: tuple | None = None      # (y, u, v) deblocked recon if requested
+    recon_unfiltered: tuple | None = None
 
 
 class H264Encoder:
@@ -97,12 +98,16 @@ class H264Encoder:
 
         ty, tu, tv = self._pad_tiles(y, u, v)
         enable_i4x4 = is_intra_frame or run.encode_speed < 2
+        # reference speed presets disable deblock at speeds 8 and 10
+        # (`src/h264-lab.h:6717`)
+        enable_deblock = run.encode_speed not in (8, 10)
         if is_intra_frame:
             out = mbscan.encode_intra_frame(
                 jnp.asarray(ty), jnp.asarray(tu), jnp.asarray(tv),
                 jnp.int32(qp), jnp.int32(qpc),
                 self._steps, self._avail_top, self._avail_left,
-                cfg.mb_width, cfg.mb_height, enable_i4x4=True)
+                cfg.mb_width, cfg.mb_height, enable_i4x4=True,
+                enable_deblock=enable_deblock)
         else:
             ref = self._ref
             out = mbscan.encode_frame(
@@ -112,7 +117,7 @@ class H264Encoder:
                 jnp.int32(qp), jnp.int32(qpc),
                 self._steps, self._avail_top, self._avail_left,
                 cfg.mb_width, cfg.mb_height, has_inter=True,
-                enable_i4x4=enable_i4x4)
+                enable_i4x4=enable_i4x4, enable_deblock=enable_deblock)
 
         payload = b""
         if is_idr:
@@ -131,7 +136,7 @@ class H264Encoder:
             idr_pic_id=self.idr_pic_id,
             slice_qp=qp,
             pic_init_qp=PIC_INIT_QP,
-            disable_deblocking_filter_idc=1,   # deblock loop lands next
+            disable_deblocking_filter_idc=0 if enable_deblock else 1,
             long_term_idx_update=0,
             max_long_term_frames=cfg.max_long_term_reference_frames)
         headers.write_slice_header_rbsp(bw, shp)
@@ -159,20 +164,27 @@ class H264Encoder:
         self.frame_num = (self.frame_num + 1) % (1 << headers.FRAME_NUM_BITS)
         self.frames_encoded += 1
 
-        # update the short-term reference (this frame is a reference)
+        # update the short-term reference with the deblocked reconstruction
         self._ref = refstate.prepare_reference(
-            out["recon_y"], out["recon_u"], out["recon_v"],
+            out["df_y"], out["df_u"], out["df_v"],
             cfg.mb_width, cfg.mb_height)
 
         recon = None
         if return_recon:
             cfgw, cfgh = cfg.mb_width, cfg.mb_height
-            ry = wavefront.tiles_to_plane(np.asarray(out["recon_y"]), cfgh, cfgw)
-            ru = wavefront.tiles_to_plane(np.asarray(out["recon_u"]), cfgh, cfgw)
-            rv = wavefront.tiles_to_plane(np.asarray(out["recon_v"]), cfgh, cfgw)
+            ry = wavefront.tiles_to_plane(np.asarray(out["df_y"]), cfgh, cfgw)
+            ru = wavefront.tiles_to_plane(np.asarray(out["df_u"]), cfgh, cfgw)
+            rv = wavefront.tiles_to_plane(np.asarray(out["df_v"]), cfgh, cfgw)
             recon = (ry[:cfg.height, :cfg.width],
                      ru[:cfg.height // 2, :cfg.width // 2],
                      rv[:cfg.height // 2, :cfg.width // 2])
+            uy = wavefront.tiles_to_plane(np.asarray(out["recon_y"]), cfgh, cfgw)
+            uu = wavefront.tiles_to_plane(np.asarray(out["recon_u"]), cfgh, cfgw)
+            uv = wavefront.tiles_to_plane(np.asarray(out["recon_v"]), cfgh, cfgw)
+            recon_unf = (uy[:cfg.height, :cfg.width],
+                         uu[:cfg.height // 2, :cfg.width // 2],
+                         uv[:cfg.height // 2, :cfg.width // 2])
         ft_name = "IDR" if is_idr else ("I" if is_intra_frame else "P")
         return FrameResult(payload=payload, frame_type=ft_name,
-                           qp=qp, recon=recon)
+                           qp=qp, recon=recon,
+                           recon_unfiltered=recon_unf if return_recon else None)

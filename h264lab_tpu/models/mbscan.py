@@ -427,10 +427,19 @@ def encode_frame_core(src_y_mb, src_u_mb, src_v_mb,
         jnp.zeros((nmb, 16, 16), jnp.uint8),
         jnp.zeros((nmb, 8, 8), jnp.uint8),
         jnp.zeros((nmb, 8, 8), jnp.uint8),
+        jnp.zeros((nmb, 16, 16), jnp.uint8),    # deblocked tiles
+        jnp.zeros((nmb, 8, 8), jnp.uint8),
+        jnp.zeros((nmb, 8, 8), jnp.uint8),
     )
-    carry, _ = jax.lax.scan(step, init, steps)
+    # extend by one step so the last diagonal gets deblocked (lag 1)
+    kmax = steps.shape[1]
+    pad_row = jnp.full((1, kmax), -1, jnp.int32)
+    steps_enc = jnp.concatenate([steps, pad_row])
+    steps_dbl = jnp.concatenate([pad_row, steps])
+    carry, _ = jax.lax.scan(step, init, (steps_enc, steps_dbl))
     (_, _, _, _, _, _, _, _, sel, mode16, cmode, i4modes, i4sym_v, i4sym_l,
-     dc_lev, ac_lev, cdc_lev, cac_lev, recon_y, recon_u, recon_v) = carry
+     dc_lev, ac_lev, cdc_lev, cac_lev, recon_y, recon_u, recon_v,
+     df_y, df_u, df_v) = carry
 
     mv_y = jnp.where(sel != SEL_INTER, 0, mv_y)
     mv_x = jnp.where(sel != SEL_INTER, 0, mv_x)
@@ -438,8 +447,11 @@ def encode_frame_core(src_y_mb, src_u_mb, src_v_mb,
     out = symbolize(sel, mode16, cmode, i4modes, i4sym_v, i4sym_l,
                     mv_y, mv_x, dc_lev, ac_lev, lev_inter, cdc_lev, cac_lev,
                     mb_width, mb_height, has_inter)
+    if not enable_deblock:
+        df_y, df_u, df_v = recon_y, recon_u, recon_v
     out.update(dict(recon_y=recon_y, recon_u=recon_u, recon_v=recon_v,
-                    mv_y=mv_y, mv_x=mv_x, sel=sel))
+                    df_y=df_y, df_u=df_u, df_v=df_v,
+                    mv_y=mv_y, mv_x=mv_x, sel=sel, i4modes=i4modes))
     return out
 
 
@@ -735,13 +747,15 @@ def symbolize(sel, mode16, cmode, i4modes, i4sym_v, i4sym_l,
 
 encode_frame = jax.jit(
     encode_frame_core,
-    static_argnames=("mb_width", "mb_height", "has_inter", "enable_i4x4"))
+    static_argnames=("mb_width", "mb_height", "has_inter", "enable_i4x4",
+                     "enable_deblock"))
 
 
 def encode_intra_core(src_y_mb, src_u_mb, src_v_mb, qp, qpc,
                       steps, avail_top, avail_left,
                       mb_width: int, mb_height: int,
-                      enable_i4x4: bool = True):
+                      enable_i4x4: bool = True,
+                      enable_deblock: bool = False):
     """I-frame/slice entry: unified scan without the inter path.
     vmap-able over leading batch axes (see h264lab_tpu.parallel)."""
     dummy = jnp.zeros((8, 8), jnp.uint8)
@@ -749,9 +763,11 @@ def encode_intra_core(src_y_mb, src_u_mb, src_v_mb, qp, qpc,
         src_y_mb, src_u_mb, src_v_mb,
         dummy, dummy, dummy, dummy, dummy, dummy, dummy,
         qp, qpc, steps, avail_top, avail_left,
-        mb_width, mb_height, has_inter=False, enable_i4x4=enable_i4x4)
+        mb_width, mb_height, has_inter=False, enable_i4x4=enable_i4x4,
+        enable_deblock=enable_deblock)
 
 
 encode_intra_frame = jax.jit(
     encode_intra_core,
-    static_argnames=("mb_width", "mb_height", "enable_i4x4"))
+    static_argnames=("mb_width", "mb_height", "enable_i4x4",
+                     "enable_deblock"))

@@ -256,10 +256,12 @@ def encode_i4x4_mb(src_mb, top_row, left_col, tl_px, tr4_px,
             else:
                 mode_b = modes[:, b - 4]
                 avail_b = jnp.ones((k,), bool)
-            mode_a = jnp.where(avail_a, mode_a, -1)
-            mode_b = jnp.where(avail_b, mode_b, -1)
-            pred_mode = jnp.where((mode_a < 0) | (mode_b < 0), 2,
-                                  jnp.minimum(mode_a, mode_b))
+            # spec 8.3.1.1: an UNAVAILABLE neighbour block forces DC
+            # prediction (dcPredModePredictedFlag); an available neighbour
+            # in a non-Intra4x4 MB contributes DC (2) into the min (the
+            # edge-mode arrays already carry 2 for those MBs).
+            pred_mode = jnp.where(avail_a & avail_b,
+                                  jnp.minimum(mode_a, mode_b), 2)
 
             src_blk = src[:, 4 * bi:4 * bi + 4, 4 * bj:4 * bj + 4]
             sad = jnp.sum(jnp.abs(src_blk[:, None] - preds), axis=(2, 3))
