@@ -122,8 +122,9 @@ def _filter_chroma_seg(plane, ys, xs, vert, bs, qpc):
             plane[y0, x0] = np.uint8(np.clip(nq0, 0, 255))
 
 
-def deblock_picture(frame, mb_intra, mb_avail, mv, nnz_luma, mb_qp,
-                    mb_width, mb_height, chroma_qp_offset=0):
+def deblock_picture(frame, mb_intra, mb_avail, mv4, nnz_luma, mb_qp,
+                    mb_width, mb_height, chroma_qp_offset=0,
+                    mb_slice=None, skip_slice_edges=False):
     """In-place deblock of a DecodedFrame after all MBs are decoded."""
     y, u, v = frame.y, frame.u, frame.v
     for r in range(mb_height):
@@ -134,23 +135,26 @@ def deblock_picture(frame, mb_intra, mb_avail, mv, nnz_luma, mb_qp,
                 x = 16 * c + 4 * e
                 if e == 0 and c == 0:
                     continue
+                if (e == 0 and skip_slice_edges and mb_slice is not None
+                        and mb_slice[r, c - 1] != mb_slice[r, c]):
+                    continue
                 for g in range(4):
                     yseg = 16 * r + 4 * g
                     if e == 0:
                         intra_p = mb_intra[r, c - 1]
                         nnz_p = nnz_luma[4 * r + g, 4 * c - 1]
-                        mv_p = mv[r, c - 1]
+                        mv_p = mv4[4 * r + g, 4 * c - 1]
                         qp_p = int(mb_qp[r, c - 1])
                         mb_edge = True
                     else:
                         intra_p = mb_intra[r, c]
                         nnz_p = nnz_luma[4 * r + g, 4 * c + e - 1]
-                        mv_p = mv[r, c]
+                        mv_p = mv4[4 * r + g, 4 * c + e - 1]
                         qp_p = qp_cur
                         mb_edge = False
                     bs = _bs_edge(intra_p, mb_intra[r, c], nnz_p,
                                   nnz_luma[4 * r + g, 4 * c + e],
-                                  mv_p, mv[r, c], mb_edge)
+                                  mv_p, mv4[4 * r + g, 4 * c + e], mb_edge)
                     qp_avg = (qp_p + qp_cur + 1) >> 1
                     _filter_luma_seg(y, yseg, x, True, bs, qp_avg)
                     if e in (0, 2):
@@ -166,23 +170,26 @@ def deblock_picture(frame, mb_intra, mb_avail, mv, nnz_luma, mb_qp,
                 yy = 16 * r + 4 * e
                 if e == 0 and r == 0:
                     continue
+                if (e == 0 and skip_slice_edges and mb_slice is not None
+                        and mb_slice[r - 1, c] != mb_slice[r, c]):
+                    continue
                 for g in range(4):
                     xseg = 16 * c + 4 * g
                     if e == 0:
                         intra_p = mb_intra[r - 1, c]
                         nnz_p = nnz_luma[4 * r - 1, 4 * c + g]
-                        mv_p = mv[r - 1, c]
+                        mv_p = mv4[4 * r - 1, 4 * c + g]
                         qp_p = int(mb_qp[r - 1, c])
                         mb_edge = True
                     else:
                         intra_p = mb_intra[r, c]
                         nnz_p = nnz_luma[4 * r + e - 1, 4 * c + g]
-                        mv_p = mv[r, c]
+                        mv_p = mv4[4 * r + e - 1, 4 * c + g]
                         qp_p = qp_cur
                         mb_edge = False
                     bs = _bs_edge(intra_p, mb_intra[r, c], nnz_p,
                                   nnz_luma[4 * r + e, 4 * c + g],
-                                  mv_p, mv[r, c], mb_edge)
+                                  mv_p, mv4[4 * r + e, 4 * c + g], mb_edge)
                     qp_avg = (qp_p + qp_cur + 1) >> 1
                     _filter_luma_seg(y, yy, xseg, False, bs, qp_avg)
                     if e in (0, 2):

@@ -193,10 +193,15 @@ class H264Decoder:
         self._mb_avail = None       # (mbh, mbw) bool (decoded yet)
         self._mv = None             # (mbh, mbw, 2) int32 (y, x)
         self._ref_planes = None     # (luma planes tuple, u_pad, v_pad)
+        # DPB: "short" = most recent short-term ref; lt[k] = long-term k
+        self._dpb = {"short": None, "lt": {}}
+        self._interp_cache = {}     # id(frame planes) -> interp planes
         self._i4_modes = None       # (4*mbh, 4*mbw) int32, -1 = not i4x4
         self._mb_qp = None          # (mbh, mbw) int32
+        self._mb_slice = None       # (mbh, mbw) int32 slice index
+        self._cur_slice_id = 0
         self._n_decoded = 0
-        self._deblock_enabled = True
+        self._deblock_idc = 0
 
     # ---------------- public ----------------
     def decode(self, stream: bytes) -> list[DecodedFrame]:
@@ -230,6 +235,7 @@ class H264Decoder:
             br.ue()  # idr_pic_id
         if sps.poc_type == 0:
             raise NotImplementedError("poc_type 0 slice bits")
+        use_lt = None                    # long_term_pic_num to predict from
         if slice_type == 0:  # P
             num_ref_override = br.u1()
             if num_ref_override:
@@ -239,11 +245,16 @@ class H264Decoder:
                     idc = br.ue()
                     if idc == 3:
                         break
-                    br.ue()
+                    val = br.ue()
+                    if idc == 2:
+                        use_lt = val
+                    else:
+                        raise NotImplementedError("pic_num modification")
+        marking = {"idr_lt": False, "mmco": []}
         if nal_ref_idc > 0:  # dec_ref_pic_marking
             if is_idr:
                 br.u1()  # no_output_of_prior
-                br.u1()  # long_term_reference_flag
+                marking["idr_lt"] = bool(br.u1())
             else:
                 if br.u1():  # adaptive marking
                     while True:
@@ -251,10 +262,9 @@ class H264Decoder:
                         if op == 0:
                             break
                         if op in (1, 2, 4, 6):
-                            br.ue()
+                            marking["mmco"].append((op, br.ue()))
                         elif op == 3:
-                            br.ue()
-                            br.ue()
+                            marking["mmco"].append((op, br.ue(), br.ue()))
         slice_qp = pps.pic_init_qp + br.se()
         disable_deblock = 0
         if pps.deblocking_filter_control_present:
@@ -265,27 +275,79 @@ class H264Decoder:
 
         if first_mb == 0:
             self._start_picture(slice_type == 0)
-        self._deblock_enabled = disable_deblock != 1
+            self._marking = marking
+            self._nal_ref_idc = nal_ref_idc
+            self._is_idr = is_idr
+        if slice_type == 0:
+            self._select_reference(use_lt)
+        self._deblock_idc = disable_deblock
+        self._cur_slice_id += 1
         self._parse_slice_data(br, slice_type, first_mb, slice_qp,
                                disable_deblock)
-        if self._n_decoded >= sps.mb_width * sps.mb_height \
-                and self._deblock_enabled:
-            deblock_dec.deblock_picture(
-                self._cur, self._mb_intra, self._mb_avail, self._mv,
-                self._nnz_luma, self._mb_qp,
-                sps.mb_width, sps.mb_height, self.pps.chroma_qp_index_offset)
+        if self._n_decoded >= sps.mb_width * sps.mb_height:
+            if self._deblock_idc != 1:
+                deblock_dec.deblock_picture(
+                    self._cur, self._mb_intra, self._mb_avail, self._mv4,
+                    self._nnz_luma, self._mb_qp,
+                    sps.mb_width, sps.mb_height,
+                    self.pps.chroma_qp_index_offset,
+                    mb_slice=self._mb_slice,
+                    skip_slice_edges=self._deblock_idc == 2)
+            self._finish_picture()
+
+    def _select_reference(self, use_lt):
+        """Build interpolation planes for the P reference (DPB front or a
+        long-term picture selected by ref list modification)."""
+        if use_lt is not None:
+            frame = self._dpb["lt"].get(use_lt)
+        else:
+            frame = self._dpb["short"] or next(
+                iter(self._dpb["lt"].values()), None)
+        if frame is None:
+            raise ValueError("P slice without a reference picture")
+        key = id(frame)
+        if key not in self._interp_cache:
+            g = interpolate.GUARD
+            y_pad = interpolate.pad(frame.y, g)
+            planes = (y_pad,) + interpolate.half_planes(y_pad)
+            self._interp_cache = {key: (
+                planes,
+                interpolate.pad(frame.u, g // 2),
+                interpolate.pad(frame.v, g // 2))}
+        self._ref_planes = self._interp_cache[key]
+
+    def _finish_picture(self):
+        """Apply reference marking for the completed picture."""
+        if self._nal_ref_idc == 0:
+            return
+        cur = self._cur
+        if self._is_idr:
+            self._dpb = {"short": None, "lt": {}}
+            if self._marking["idr_lt"]:
+                self._dpb["lt"][0] = cur
+            else:
+                self._dpb["short"] = cur
+            return
+        mmco = self._marking["mmco"]
+        if not mmco:
+            self._dpb["short"] = cur
+            return
+        for op in mmco:
+            if op[0] == 1:
+                self._dpb["short"] = None
+            elif op[0] == 2:
+                self._dpb["lt"].pop(op[1], None)
+            elif op[0] == 4:
+                maxidx = op[1] - 1
+                self._dpb["lt"] = {k: v for k, v in self._dpb["lt"].items()
+                                   if k <= maxidx}
+            elif op[0] == 6:
+                self._dpb["lt"][op[1]] = cur
+            else:
+                raise NotImplementedError(f"MMCO {op[0]}")
 
     def _start_picture(self, is_p: bool):
         sps = self.sps
-        if self._cur is not None and is_p:
-            # previous decoded picture becomes the reference
-            g = interpolate.GUARD
-            y_pad = interpolate.pad(self._cur.y, g)
-            planes = (y_pad,) + interpolate.half_planes(y_pad)
-            self._ref_planes = (
-                planes,
-                interpolate.pad(self._cur.u, g // 2),
-                interpolate.pad(self._cur.v, g // 2))
         self._cur = DecodedFrame(sps)
         self._nnz_luma = np.zeros((4 * sps.mb_height, 4 * sps.mb_width),
                                   np.int32)
@@ -294,9 +356,13 @@ class H264Decoder:
         self._mb_intra = np.zeros((sps.mb_height, sps.mb_width), bool)
         self._mb_avail = np.zeros((sps.mb_height, sps.mb_width), bool)
         self._mv = np.zeros((sps.mb_height, sps.mb_width, 2), np.int32)
+        self._mv4 = np.zeros((4 * sps.mb_height, 4 * sps.mb_width, 2),
+                             np.int32)
         self._i4_modes = np.full((4 * sps.mb_height, 4 * sps.mb_width), -1,
                                  np.int32)
         self._mb_qp = np.zeros((sps.mb_height, sps.mb_width), np.int32)
+        self._mb_slice = np.full((sps.mb_height, sps.mb_width), -1, np.int32)
+        self._cur_slice_id = -1
         self._n_decoded = 0
         self.frames.append(self._cur)
 
@@ -333,11 +399,18 @@ class H264Decoder:
             if not br.more_rbsp_data():
                 break
 
+    def _avail_mb(self, mbr: int, mbc: int) -> bool:
+        """MB available for prediction: decoded and in the current slice."""
+        sps = self.sps
+        if not (0 <= mbr < sps.mb_height and 0 <= mbc < sps.mb_width):
+            return False
+        return self._mb_slice[mbr, mbc] == self._cur_slice_id
+
     def _nc_luma(self, by: int, bx: int, slice_start_mb: int) -> int:
         """nC context for luma block at block-grid (by, bx)."""
         sps = self.sps
-        avail_a = bx > 0
-        avail_b = by > 0
+        avail_a = bx > 0 and self._avail_mb(by // 4, (bx - 1) // 4)
+        avail_b = by > 0 and self._avail_mb((by - 1) // 4, bx // 4)
         na = self._nnz_luma[by, bx - 1] if avail_a else 0
         nb = self._nnz_luma[by - 1, bx] if avail_b else 0
         if avail_a and avail_b:
@@ -349,8 +422,8 @@ class H264Decoder:
         return 0
 
     def _nc_chroma(self, plane: int, by: int, bx: int) -> int:
-        avail_a = bx > 0
-        avail_b = by > 0
+        avail_a = bx > 0 and self._avail_mb(by // 2, (bx - 1) // 2)
+        avail_b = by > 0 and self._avail_mb((by - 1) // 2, bx // 2)
         na = self._nnz_chroma[plane, by, bx - 1] if avail_a else 0
         nb = self._nnz_chroma[plane, by - 1, bx] if avail_b else 0
         if avail_a and avail_b:
@@ -366,6 +439,7 @@ class H264Decoder:
         sps, pps = self.sps, self.pps
         mbw = sps.mb_width
         r, c = divmod(mb, mbw)
+        self._mb_slice[r, c] = self._cur_slice_id
         if mb_type == 0:
             return self._decode_i4x4_mb(br, mb, qp)
         if not (1 <= mb_type <= 24):
@@ -380,8 +454,8 @@ class H264Decoder:
         qp = (qp + dqp) % 52
         qpc = int(QPC_FROM_QPY[np.clip(qp + pps.chroma_qp_index_offset, 0, 51)])
 
-        avail_top = r > 0
-        avail_left = c > 0
+        avail_top = self._avail_mb(r - 1, c)
+        avail_left = self._avail_mb(r, c - 1)
 
         # ---- luma prediction ----
         y = self._cur.y
@@ -465,7 +539,9 @@ class H264Decoder:
 
         self._mb_intra[r, c] = True
         self._mb_avail[r, c] = True
+        self._mb_slice[r, c] = self._cur_slice_id
         self._mv[r, c] = 0
+        self._mv4[4 * r:4 * r + 4, 4 * c:4 * c + 4] = 0
         self._mb_qp[r, c] = qp
         self._n_decoded += 1
         return qp
@@ -479,6 +555,7 @@ class H264Decoder:
         sps, pps = self.sps, self.pps
         mbw = sps.mb_width
         r, c = divmod(mb, mbw)
+        self._mb_slice[r, c] = self._cur_slice_id
         y = self._cur.y
         gm = self._i4_modes
 
@@ -487,10 +564,12 @@ class H264Decoder:
         for b in BLOCK_SCAN_4x4:
             bi, bj = divmod(int(b), 4)
             gy, gx = 4 * r + bi, 4 * c + bj
-            # spec 8.3.1.1: neighbour block outside the picture forces DC;
-            # an available non-Intra4x4 neighbour (gm == -1) counts as DC
+            # spec 8.3.1.1: an unavailable neighbour block forces DC; an
+            # available non-Intra4x4 neighbour (gm == -1) counts as DC
             # inside the min
-            if gx == 0 or gy == 0:
+            av_a = bj > 0 or self._avail_mb(r, c - 1)
+            av_b = bi > 0 or self._avail_mb(r - 1, c)
+            if not av_a or not av_b:
                 pred = 2
             else:
                 ma = int(gm[gy, gx - 1])
@@ -518,15 +597,22 @@ class H264Decoder:
             b = int(b)
             bi, bj = divmod(b, 4)
             by, bx = 16 * r + 4 * bi, 16 * c + 4 * bj
-            a_top = by > 0
-            a_left = bx > 0
-            a_tl = a_top and a_left
+            a_top = bi > 0 or self._avail_mb(r - 1, c)
+            a_left = bj > 0 or self._avail_mb(r, c - 1)
+            if bi > 0 and bj > 0:
+                a_tl = True
+            elif bi == 0 and bj == 0:
+                a_tl = self._avail_mb(r - 1, c - 1)
+            elif bi == 0:
+                a_tl = self._avail_mb(r - 1, c)
+            else:
+                a_tl = self._avail_mb(r, c - 1)
             if b in self._NO_TR:
                 tr_ok = False
             elif bi == 0 and bj == 3:
-                tr_ok = (r > 0) and (c < mbw - 1)
+                tr_ok = self._avail_mb(r - 1, c + 1)
             elif bi == 0:
-                tr_ok = r > 0
+                tr_ok = self._avail_mb(r - 1, c)
             else:
                 tr_ok = True
             t = y[by - 1, bx:bx + 4].astype(np.int32) if a_top else np.zeros(4, np.int32)
@@ -593,7 +679,9 @@ class H264Decoder:
 
         self._mb_intra[r, c] = True
         self._mb_avail[r, c] = True
+        self._mb_slice[r, c] = self._cur_slice_id
         self._mv[r, c] = 0
+        self._mv4[4 * r:4 * r + 4, 4 * c:4 * c + 4] = 0
         self._mb_qp[r, c] = qp
         self._n_decoded += 1
         return qp
@@ -616,27 +704,48 @@ class H264Decoder:
         return _p4(mode, t, l, tl, tr).astype(np.int64)
 
     # ---------------- inter (P) ----------------
-    def _neighbor_mv(self, r: int, c: int):
-        """(mv, ref0_flag, mb_available) for one neighbour position."""
+    def _blk_mv(self, gy: int, gx: int, cur_rc=None):
+        """Block-level neighbour: (mv(2,), ref0, avail). cur_rc marks the
+        MB currently being decoded (its already-written blocks count as
+        available; callers only use decode-order-valid offsets)."""
         sps = self.sps
-        if not (0 <= r < sps.mb_height and 0 <= c < sps.mb_width):
+        if not (0 <= gy < 4 * sps.mb_height and 0 <= gx < 4 * sps.mb_width):
             return np.zeros(2, np.int32), False, False
-        if not self._mb_avail[r, c]:
+        mbr, mbc = gy // 4, gx // 4
+        if (mbr, mbc) != cur_rc and not self._avail_mb(mbr, mbc):
             return np.zeros(2, np.int32), False, False
-        if self._mb_intra[r, c]:
+        if self._mb_intra[mbr, mbc] and (mbr, mbc) != cur_rc:
             return np.zeros(2, np.int32), False, True
-        return self._mv[r, c].copy(), True, True
+        if (mbr, mbc) == cur_rc and self._mb_intra[mbr, mbc]:
+            return np.zeros(2, np.int32), False, True
+        return self._mv4[gy, gx].copy(), True, True
 
-    def _mvp(self, r: int, c: int):
-        """Median MV predictor (spec 8.4.1.3) for a 16x16 partition."""
-        mva, refa, ava = self._neighbor_mv(r, c - 1)
-        mvb, refb, avb = self._neighbor_mv(r - 1, c)
-        mvc, refc, avc = self._neighbor_mv(r - 1, c + 1)
+    def _mvp_part(self, r: int, c: int, a_off, b_off, c_off, d_off,
+                  directional=None):
+        """Spec 8.4.1.3 predictor for a partition; offsets are
+        (dy, dx) in 4x4-block units relative to the MB origin, or None
+        for statically unavailable C."""
+        cur = (r, c)
+
+        def at(off):
+            if off is None:
+                return np.zeros(2, np.int32), False, False
+            return self._blk_mv(4 * r + off[0], 4 * c + off[1], cur)
+
+        mva, refa, ava = at(a_off)
+        mvb, refb, avb = at(b_off)
+        mvc, refc, avc = at(c_off)
         if not avc:
-            mvc, refc, avc = self._neighbor_mv(r - 1, c - 1)
+            mvc, refc, avc = at(d_off)
         if not avb and not avc and ava:
             mvb, refb = mva, refa
             mvc, refc = mva, refa
+        if directional == "A" and refa:
+            return mva
+        if directional == "B" and refb:
+            return mvb
+        if directional == "C" and refc:
+            return mvc
         cnt = int(refa) + int(refb) + int(refc)
         if cnt == 1:
             if refa:
@@ -644,12 +753,15 @@ class H264Decoder:
             if refb:
                 return mvb
             return mvc
-        stack = np.stack([mva, mvb, mvc])
-        return np.median(stack, axis=0).astype(np.int32)
+        return np.median(np.stack([mva, mvb, mvc]), axis=0).astype(np.int32)
+
+    def _mvp(self, r: int, c: int):
+        """Median MV predictor (spec 8.4.1.3) for a 16x16 partition."""
+        return self._mvp_part(r, c, (0, -1), (-1, 0), (-1, 4), (-1, -1))
 
     def _skip_mv(self, r: int, c: int):
-        mva, refa, ava = self._neighbor_mv(r, c - 1)
-        mvb, refb, avb = self._neighbor_mv(r - 1, c)
+        mva, refa, ava = self._blk_mv(4 * r, 4 * c - 1)
+        mvb, refb, avb = self._blk_mv(4 * r - 1, 4 * c)
         if (not ava or not avb
                 or (refa and mva[0] == 0 and mva[1] == 0)
                 or (refb and mvb[0] == 0 and mvb[1] == 0)):
@@ -670,32 +782,64 @@ class H264Decoder:
     def _decode_skip_mb(self, mb: int, qp: int):
         sps = self.sps
         r, c = divmod(mb, sps.mb_width)
+        self._mb_slice[r, c] = self._cur_slice_id
         mv = self._skip_mv(r, c)
         py, pu, pv = self._mc_predict(r, c, mv)
         self._cur.y[16 * r:16 * r + 16, 16 * c:16 * c + 16] = py
         self._cur.u[8 * r:8 * r + 8, 8 * c:8 * c + 8] = pu
         self._cur.v[8 * r:8 * r + 8, 8 * c:8 * c + 8] = pv
         self._mv[r, c] = mv
+        self._mv4[4 * r:4 * r + 4, 4 * c:4 * c + 4] = mv
         self._mb_intra[r, c] = False
         self._mb_avail[r, c] = True
+        self._mb_slice[r, c] = self._cur_slice_id
         self._nnz_luma[4 * r:4 * r + 4, 4 * c:4 * c + 4] = 0
         self._nnz_chroma[:, 2 * r:2 * r + 2, 2 * c:2 * c + 2] = 0
         self._mb_qp[r, c] = qp
         self._n_decoded += 1
 
+    # partition layouts per P mb_type: (block_y, block_x), (bh, bw) in
+    # 4x4-block units, predictor neighbour offsets (A, B, C, D) and the
+    # directional preference of spec 8.4.1.3 (None = median)
+    _P_PARTS = {
+        0: [((0, 0), (4, 4), ((0, -1), (-1, 0), (-1, 4), (-1, -1)), None)],
+        1: [((0, 0), (2, 4), ((0, -1), (-1, 0), (-1, 4), (-1, -1)), "B"),
+            ((2, 0), (2, 4), ((2, -1), (1, 0), None, (1, -1)), "A")],
+        2: [((0, 0), (4, 2), ((0, -1), (-1, 0), (-1, 2), (-1, -1)), "A"),
+            ((0, 2), (4, 2), ((0, 1), (-1, 2), (-1, 4), (-1, 1)), "C")],
+        3: [((0, 0), (2, 2), ((0, -1), (-1, 0), (-1, 2), (-1, -1)), None),
+            ((0, 2), (2, 2), ((0, 1), (-1, 2), (-1, 4), (-1, 1)), None),
+            ((2, 0), (2, 2), ((2, -1), (1, 0), (1, 2), (1, -1)), None),
+            ((2, 2), (2, 2), ((2, 1), (1, 2), None, (1, 1)), None)],
+    }
+
     def _decode_p_mb(self, br: BitReader, mb: int, mb_type: int,
                      qp: int) -> int:
         sps, pps = self.sps, self.pps
-        if mb_type != 0:
-            raise NotImplementedError(f"P mb_type {mb_type} (partitions)")
+        if mb_type > 4:
+            raise NotImplementedError(f"P mb_type {mb_type}")
+        if mb_type == 4:
+            mb_type = 3      # P_8x8ref0 == P_8x8 with a single reference
         r, c = divmod(mb, sps.mb_width)
-        mvd_x = br.se()
-        mvd_y = br.se()
-        mvp = self._mvp(r, c)
-        mv = np.array([mvp[0] + mvd_y, mvp[1] + mvd_x], np.int32)
-        self._mv[r, c] = mv
+        self._mb_slice[r, c] = self._cur_slice_id
+        parts = self._P_PARTS[mb_type]
+        if mb_type == 3:
+            for _ in range(4):
+                sub = br.ue()
+                if sub != 0:
+                    raise NotImplementedError("sub-8x8 partitions")
         self._mb_intra[r, c] = False
+        for (by, bx), (bh, bw), offs, direc in parts:
+            mvd_x = br.se()
+            mvd_y = br.se()
+            mvp = self._mvp_part(r, c, offs[0], offs[1], offs[2], offs[3],
+                                 direc)
+            mv = np.array([mvp[0] + mvd_y, mvp[1] + mvd_x], np.int32)
+            self._mv4[4 * r + by:4 * r + by + bh,
+                      4 * c + bx:4 * c + bx + bw] = mv
+        self._mv[r, c] = self._mv4[4 * r, 4 * c]
         self._mb_avail[r, c] = True
+        self._mb_slice[r, c] = self._cur_slice_id
 
         cbp = int(CODENUM_TO_CBP_INTER[br.ue()])
         cbp_luma = cbp & 15
@@ -706,7 +850,26 @@ class H264Decoder:
         qpc = int(QPC_FROM_QPY[np.clip(qp + pps.chroma_qp_index_offset,
                                        0, 51)])
 
-        py, pu, pv = self._mc_predict(r, c, mv)
+        # motion compensation per partition
+        planes, u_pad, v_pad = self._ref_planes
+        g = interpolate.GUARD
+        py = np.zeros((16, 16), np.uint8)
+        pu = np.zeros((8, 8), np.uint8)
+        pv = np.zeros((8, 8), np.uint8)
+        for (by, bx), (bh, bw), _, _ in parts:
+            mv = self._mv4[4 * r + by, 4 * c + bx]
+            py[4 * by:4 * by + 4 * bh, 4 * bx:4 * bx + 4 * bw] = \
+                interpolate.mc_luma_block(
+                    planes, g + 16 * r + 4 * by, g + 16 * c + 4 * bx,
+                    int(mv[0]), int(mv[1]), 4 * bh, 4 * bw)
+            pu[2 * by:2 * by + 2 * bh, 2 * bx:2 * bx + 2 * bw] = \
+                interpolate.mc_chroma_block(
+                    u_pad, g // 2 + 8 * r + 2 * by, g // 2 + 8 * c + 2 * bx,
+                    int(mv[0]), int(mv[1]), 2 * bh, 2 * bw)
+            pv[2 * by:2 * by + 2 * bh, 2 * bx:2 * bx + 2 * bw] = \
+                interpolate.mc_chroma_block(
+                    v_pad, g // 2 + 8 * r + 2 * by, g // 2 + 8 * c + 2 * bx,
+                    int(mv[0]), int(mv[1]), 2 * bh, 2 * bw)
 
         recon = py.astype(np.int64).copy()
         for k in BLOCK_SCAN_4x4:
@@ -716,8 +879,8 @@ class H264Decoder:
                 nc = self._nc_luma(4 * r + bb, 4 * c + bc, 0)
                 lv_scan, total = cavlc_dec.decode_block(br, nc, 16)
                 self._nnz_luma[4 * r + bb, 4 * c + bc] = total
-                lv = np.array(cavlc_dec.scan_to_raster4x4(lv_scan, self.coeff_scan),
-                              np.int64).reshape(4, 4)
+                lv = np.array(cavlc_dec.scan_to_raster4x4(
+                    lv_scan, self.coeff_scan), np.int64).reshape(4, 4)
                 res = idct4x4_core(dequant4x4(lv, qp))
                 blk = recon[4 * bb:4 * bb + 4, 4 * bc:4 * bc + 4]
                 recon[4 * bb:4 * bb + 4, 4 * bc:4 * bc + 4] = \
@@ -745,8 +908,9 @@ class H264Decoder:
                     nc = self._nc_chroma(plane_idx, 2 * r + bb, 2 * c + bc)
                     lv_scan, total = cavlc_dec.decode_block(br, nc, 15)
                     self._nnz_chroma[plane_idx, 2 * r + bb, 2 * c + bc] = total
-                    lv = np.array(cavlc_dec.scan_to_raster4x4([0] + lv_scan, self.coeff_scan),
-                                  np.int64).reshape(4, 4)
+                    lv = np.array(cavlc_dec.scan_to_raster4x4(
+                        [0] + lv_scan, self.coeff_scan),
+                        np.int64).reshape(4, 4)
                 else:
                     self._nnz_chroma[plane_idx, 2 * r + bb, 2 * c + bc] = 0
                     lv = np.zeros((4, 4), np.int64)

@@ -18,6 +18,7 @@ from h264lab_tpu.bitstream import BitWriter, headers
 from h264lab_tpu.bitstream.nal import annexb_nal
 from h264lab_tpu.models import mbscan, refstate, wavefront
 from h264lab_tpu.ops import bitpack, tables
+from h264lab_tpu.rc.ratecontrol import RateControl, filler_nal
 
 PIC_INIT_QP = 26
 
@@ -54,6 +55,17 @@ class H264Encoder:
         self.frames_encoded = 0
         self._gop_pos = 0
         self._ref = None      # reference-state pytree (refstate.py)
+        # reference slots: 0 = short-term, 1..N = long-term (slot k holds
+        # LongTermFrameIdx k-1); reference policy `src/h264-lab.h:6726-6754`
+        self._refs = {}
+        self._most_recent_idx = 0
+        self._short_term_used = False
+        self._lt_used = [False] * cfg.max_long_term_reference_frames
+        self._last_tiles = None
+        self._force_transparent = False
+        self._last_frame_bytes = 0
+        self._band_cache = {}
+        self.rc = RateControl(cfg.n_mb, cfg.gop, cfg.vbv_size_bytes, cfg.qp)
 
         self._sps = headers.SpsParams(
             width=cfg.width, height=cfg.height,
@@ -74,6 +86,40 @@ class H264Encoder:
             return FrameType.KEY
         return FrameType.P
 
+    def _bands(self, run: RunConfig):
+        """Slice bands as (first_mb_row, n_rows). Multi-slice comes from
+        cfg.slice_bands, or adaptively from desired_nalu_bytes (reference
+        `src/h264-lab.h:6418-6424` splits by NALU size; we re-band using
+        the previous frame's size estimate)."""
+        cfg = self.config
+        n = cfg.slice_bands
+        nalu = run.desired_nalu_bytes or cfg.desired_nalu_bytes
+        if nalu > 0 and self._last_frame_bytes:
+            est = max(1, round(self._last_frame_bytes / nalu))
+            n = max(n, min(est, cfg.mb_height))
+        n = min(n, cfg.mb_height)
+        base = cfg.mb_height // n
+        extra = cfg.mb_height % n
+        bands = []
+        row = 0
+        for i in range(n):
+            rows = base + (1 if i < extra else 0)
+            bands.append((row, rows))
+            row += rows
+        return bands
+
+    def _band_arrays(self, rows: int):
+        """Cached (steps, avail_top, avail_left) for a band height."""
+        key = rows
+        if key not in self._band_cache:
+            plan = wavefront.make_plan(self.config.mb_width, rows, slope=2)
+            nmb = self.config.mb_width * rows
+            r = np.arange(nmb) // self.config.mb_width
+            c = np.arange(nmb) % self.config.mb_width
+            self._band_cache[key] = (jnp.asarray(plan.steps),
+                                     jnp.asarray(r > 0), jnp.asarray(c > 0))
+        return self._band_cache[key]
+
     def _pad_tiles(self, y, u, v):
         cfg = self.config
         ph, pw = cfg.padded_height, cfg.padded_width
@@ -89,35 +135,58 @@ class H264Encoder:
                return_recon: bool = False) -> FrameResult:
         cfg = self.config
         run = run or RunConfig(qp_min=cfg.qp, qp_max=cfg.qp)
-        qp = int(np.clip(run.qp_max, 10, 51))
-        qpc = int(tables.QPC_FROM_QPY[qp])
 
         ftype = self._frame_type(run)
+        # long-term reference policy (reference `src/h264-lab.h:6734-6754`)
+        n_lt = cfg.max_long_term_reference_frames
+        if ftype == FrameType.I:
+            lt_use, lt_update = -1, 0
+        elif ftype == FrameType.KEY:
+            lt_use, lt_update = -1, (1 if n_lt > 0 else 0)
+        elif ftype == FrameType.GOLDEN:
+            lt_use, lt_update = 1, 1
+        elif ftype == FrameType.RECOVERY:
+            lt_use, lt_update = 1, 0
+        elif ftype == FrameType.DROPPABLE:
+            lt_use, lt_update = self._most_recent_idx, -1
+        elif ftype == FrameType.CUSTOM:
+            lt_use = run.long_term_idx_use or self._most_recent_idx
+            lt_update = run.long_term_idx_update
+            if lt_use < 0:
+                ftype = FrameType.KEY
+                lt_update = 1 if n_lt > 0 else 0
+        else:  # P
+            lt_use, lt_update = self._most_recent_idx, 0
+        if ftype not in (FrameType.KEY, FrameType.I) \
+                and self._refs.get(max(lt_use, 0)) is None:
+            ftype = FrameType.KEY          # no usable reference yet
+            lt_use, lt_update = -1, (1 if n_lt > 0 else 0)
         is_idr = ftype == FrameType.KEY
         is_intra_frame = ftype in (FrameType.KEY, FrameType.I)
 
+        # VBV overflow policy: replace this frame with an all-skip
+        # "transparent" frame (reference `src/h264-lab.h:6497-6508`)
+        if (self._force_transparent and not is_intra_frame
+                and cfg.vbv_overflow_empty_frame_flag):
+            self._force_transparent = False
+            return self._encode_transparent(run, return_recon)
+
+        qp = self.rc.frame_start(
+            is_intra_frame, run.desired_frame_bytes,
+            int(np.clip(run.qp_min, 10, 51)), int(np.clip(run.qp_max, 10, 51)))
+        qpc = int(tables.QPC_FROM_QPY[qp])
+
         ty, tu, tv = self._pad_tiles(y, u, v)
         enable_i4x4 = is_intra_frame or run.encode_speed < 2
+        enable_partitions = run.encode_speed < 1
         # reference speed presets disable deblock at speeds 8 and 10
         # (`src/h264-lab.h:6717`)
         enable_deblock = run.encode_speed not in (8, 10)
-        if is_intra_frame:
-            out = mbscan.encode_intra_frame(
-                jnp.asarray(ty), jnp.asarray(tu), jnp.asarray(tv),
-                jnp.int32(qp), jnp.int32(qpc),
-                self._steps, self._avail_top, self._avail_left,
-                cfg.mb_width, cfg.mb_height, enable_i4x4=True,
-                enable_deblock=enable_deblock)
-        else:
-            ref = self._ref
-            out = mbscan.encode_frame(
-                jnp.asarray(ty), jnp.asarray(tu), jnp.asarray(tv),
-                ref["y_pad"], ref["u_pad"], ref["v_pad"],
-                ref["b"], ref["h"], ref["j"], ref["y4_pad"],
-                jnp.int32(qp), jnp.int32(qpc),
-                self._steps, self._avail_top, self._avail_left,
-                cfg.mb_width, cfg.mb_height, has_inter=True,
-                enable_i4x4=enable_i4x4, enable_deblock=enable_deblock)
+        bands = self._bands(run)
+        # multi-slice: deblocking must not cross slice borders (idc 2,
+        # reference multithread mode `src/h264-lab.h:4315-4323`)
+        deblock_idc = (1 if not enable_deblock
+                       else (2 if len(bands) > 1 else 0))
 
         payload = b""
         if is_idr:
@@ -125,35 +194,75 @@ class H264Encoder:
             payload += headers.sps_nal(self._sps)
             payload += headers.pps_nal(cfg.sps_id, 0, PIC_INIT_QP)
 
-        # slice
-        bw = BitWriter(capacity=1 << 16)
-        shp = headers.SliceHeaderParams(
-            slice_type=(headers.SLICE_TYPE_I if is_intra_frame
-                        else headers.SLICE_TYPE_P),
-            is_idr=is_idr,
-            frame_num=self.frame_num,
-            pps_id=self._pps_id,
-            idr_pic_id=self.idr_pic_id,
-            slice_qp=qp,
-            pic_init_qp=PIC_INIT_QP,
-            disable_deblocking_filter_idc=0 if enable_deblock else 1,
-            long_term_idx_update=0,
-            max_long_term_frames=cfg.max_long_term_reference_frames)
-        headers.write_slice_header_rbsp(bw, shp)
-        # device-packed CAVLC payload; host only stitches the words after
-        # the (non-byte-aligned) slice header
-        total_bits = int(out["total_bits"])
-        cap = bitpack.bucket_words(total_bits)
-        words, _ = bitpack.pack_bits_device(out["sym_vals"],
-                                            out["sym_lens"], cap)
-        bw.append_bits_bytes(bitpack.words_to_bytes(words, total_bits),
-                             total_bits)
-        bw.rbsp_trailing_bits()
-        ref_idc, nal_type = headers.slice_nal_header_byte(shp)
-        nal = annexb_nal(ref_idc, nal_type, bw.to_bytes())
-        payload += nal
-        if run.nalu_callback:
-            run.nalu_callback(nal, self.frames_encoded)
+        mbw = cfg.mb_width
+        band_outs = []
+        for (row0, rows) in bands:
+            steps, a_top, a_left = self._band_arrays(rows)
+            sl = slice(row0 * mbw, (row0 + rows) * mbw)
+            if is_intra_frame:
+                out = mbscan.encode_intra_frame(
+                    jnp.asarray(ty[sl]), jnp.asarray(tu[sl]),
+                    jnp.asarray(tv[sl]),
+                    jnp.int32(qp), jnp.int32(qpc),
+                    steps, a_top, a_left,
+                    mbw, rows, enable_i4x4=True,
+                    enable_deblock=enable_deblock)
+            else:
+                ref = self._refs[max(lt_use, 0)]
+                out = mbscan.encode_frame(
+                    jnp.asarray(ty[sl]), jnp.asarray(tu[sl]),
+                    jnp.asarray(tv[sl]),
+                    ref["y_pad"], ref["u_pad"], ref["v_pad"],
+                    ref["b"], ref["h"], ref["j"], ref["y4_pad"],
+                    jnp.int32(qp), jnp.int32(qpc),
+                    steps, a_top, a_left,
+                    mbw, rows, has_inter=True,
+                    enable_i4x4=enable_i4x4, enable_deblock=enable_deblock,
+                    enable_partitions=enable_partitions,
+                    mb_row_offset=jnp.int32(row0))
+            band_outs.append(out)
+
+            bw = BitWriter(capacity=1 << 16)
+            shp = headers.SliceHeaderParams(
+                slice_type=(headers.SLICE_TYPE_I if is_intra_frame
+                            else headers.SLICE_TYPE_P),
+                is_idr=is_idr,
+                frame_num=self.frame_num,
+                first_mb=row0 * mbw,
+                pps_id=self._pps_id,
+                idr_pic_id=self.idr_pic_id,
+                slice_qp=qp,
+                pic_init_qp=PIC_INIT_QP,
+                disable_deblocking_filter_idc=deblock_idc,
+                long_term_idx_use=max(lt_use, 0) if not is_intra_frame else 0,
+                long_term_idx_update=lt_update,
+                short_term_used=self._short_term_used,
+                lt_slot_in_use=(self._lt_used[lt_update - 1]
+                                if lt_update > 0 else False),
+                max_long_term_frames=n_lt)
+            headers.write_slice_header_rbsp(bw, shp)
+            # device-packed CAVLC payload; host only stitches the words
+            # after the (non-byte-aligned) slice header
+            total_bits = int(out["total_bits"])
+            cap = bitpack.bucket_words(total_bits)
+            words, _ = bitpack.pack_bits_device(out["sym_vals"],
+                                                out["sym_lens"], cap)
+            bw.append_bits_bytes(bitpack.words_to_bytes(words, total_bits),
+                                 total_bits)
+            bw.rbsp_trailing_bits()
+            ref_idc, nal_type = headers.slice_nal_header_byte(shp)
+            nal = annexb_nal(ref_idc, nal_type, bw.to_bytes())
+            payload += nal
+            if run.nalu_callback:
+                run.nalu_callback(nal, self.frames_encoded)
+
+        if len(band_outs) == 1:
+            out = band_outs[0]
+        else:
+            out = {k: jnp.concatenate([o[k] for o in band_outs])
+                   for k in ("recon_y", "recon_u", "recon_v",
+                             "df_y", "df_u", "df_v")}
+        self._last_frame_bytes = len(payload)
 
         # stream state
         if is_idr:
@@ -164,10 +273,31 @@ class H264Encoder:
         self.frame_num = (self.frame_num + 1) % (1 << headers.FRAME_NUM_BITS)
         self.frames_encoded += 1
 
-        # update the short-term reference with the deblocked reconstruction
-        self._ref = refstate.prepare_reference(
-            out["df_y"], out["df_u"], out["df_v"],
-            cfg.mb_width, cfg.mb_height)
+        # rate control accounting + VBV actions
+        actions = self.rc.frame_end(is_intra_frame, len(payload),
+                                    run.desired_frame_bytes)
+        if actions["stuffing_bytes"] and cfg.vbv_underflow_stuffing_flag:
+            payload += filler_nal(actions["stuffing_bytes"])
+        if actions["overflow"]:
+            self._force_transparent = True
+
+        # update the reference slot with the deblocked reconstruction
+        if is_idr:
+            self._refs = {}
+            self._short_term_used = False
+            self._lt_used = [False] * n_lt
+        if lt_update >= 0:
+            state = refstate.prepare_reference(
+                out["df_y"], out["df_u"], out["df_v"],
+                cfg.mb_width, cfg.mb_height)
+            self._refs[lt_update] = state
+            self._ref = state
+            self._most_recent_idx = lt_update
+            if lt_update == 0:
+                self._short_term_used = True
+            else:
+                self._lt_used[lt_update - 1] = True
+        self._last_tiles = (out["df_y"], out["df_u"], out["df_v"])
 
         recon = None
         if return_recon:
@@ -188,3 +318,41 @@ class H264Encoder:
         return FrameResult(payload=payload, frame_type=ft_name,
                            qp=qp, recon=recon,
                            recon_unfiltered=recon_unf if return_recon else None)
+
+    # ------------------------------------------------------------------
+    def _encode_transparent(self, run: RunConfig,
+                            return_recon: bool) -> FrameResult:
+        """All-skip P frame: every MB P_Skip with a zero predictor chain,
+        so the reconstruction equals the reference picture exactly."""
+        cfg = self.config
+        bw = BitWriter()
+        shp = headers.SliceHeaderParams(
+            slice_type=headers.SLICE_TYPE_P,
+            is_idr=False,
+            frame_num=self.frame_num,
+            pps_id=self._pps_id,
+            slice_qp=self.rc.qp,
+            pic_init_qp=PIC_INIT_QP,
+            disable_deblocking_filter_idc=1,
+            long_term_idx_update=0,
+            max_long_term_frames=cfg.max_long_term_reference_frames)
+        headers.write_slice_header_rbsp(bw, shp)
+        bw.ue(cfg.n_mb)          # mb_skip_run covering the whole picture
+        bw.rbsp_trailing_bits()
+        ref_idc, nal_type = headers.slice_nal_header_byte(shp)
+        payload = annexb_nal(ref_idc, nal_type, bw.to_bytes())
+        self.frame_num = (self.frame_num + 1) % (1 << headers.FRAME_NUM_BITS)
+        self._gop_pos += 1
+        self.frames_encoded += 1
+        self.rc.frame_end(False, len(payload), run.desired_frame_bytes)
+        recon = None
+        if return_recon and self._last_tiles is not None:
+            cfgw, cfgh = cfg.mb_width, cfg.mb_height
+            ry = wavefront.tiles_to_plane(np.asarray(self._last_tiles[0]), cfgh, cfgw)
+            ru = wavefront.tiles_to_plane(np.asarray(self._last_tiles[1]), cfgh, cfgw)
+            rv = wavefront.tiles_to_plane(np.asarray(self._last_tiles[2]), cfgh, cfgw)
+            recon = (ry[:cfg.height, :cfg.width],
+                     ru[:cfg.height // 2, :cfg.width // 2],
+                     rv[:cfg.height // 2, :cfg.width // 2])
+        return FrameResult(payload=payload, frame_type="P", qp=self.rc.qp,
+                           recon=recon)

@@ -116,9 +116,14 @@ def encode_frame_core(src_y_mb, src_u_mb, src_v_mb,
                       qp, qpc, steps, avail_top, avail_left,
                       mb_width: int, mb_height: int,
                       has_inter: bool, enable_i4x4: bool,
-                      enable_deblock: bool = False):
-    """Encode one frame/slice-band. For I frames pass dummy ref planes and
-    has_inter=False (they are ignored)."""
+                      enable_deblock: bool = False,
+                      enable_partitions: bool = False,
+                      mb_row_offset=0):
+    """Encode one frame or slice band. For I frames pass dummy ref planes
+    and has_inter=False (they are ignored). `mb_row_offset` places a band
+    within the full-frame reference planes (multi-slice encoding): all
+    entropy/prediction contexts stay band-local (slices are independent),
+    but motion compensation reads the full reference picture."""
     nmb = mb_width * mb_height
     rr = jnp.arange(nmb, dtype=jnp.int32) // mb_width
     cc = jnp.arange(nmb, dtype=jnp.int32) % mb_width
@@ -126,20 +131,64 @@ def encode_frame_core(src_y_mb, src_u_mb, src_v_mb,
 
     # ---------------- stage 1 (P): ME + MC + inter TQ --------------------
     if has_inter:
-        base_y = qpel.GUARD + 16 * rr
+        base_y = qpel.GUARD + 16 * (rr + mb_row_offset)
         base_x = qpel.GUARD + 16 * cc
         g4 = qpel.GUARD // 4
         t = src_y_mb.astype(jnp.int32).reshape(nmb, 4, 4, 4, 4)
         cur4 = ((t.sum(axis=(2, 4)) + 8) >> 4).astype(jnp.uint8)
-        mv_y, mv_x, inter_cost = me.motion_search(
-            src_y_mb, ref_y_pad, (hpel_b, hpel_h, hpel_j),
-            base_y, base_x, g4 + 4 * rr, g4 + 4 * cc, cur4, ref4_pad, qp)
-        pred_y_inter = qpel.mc_luma(ref_y_pad, hpel_b, hpel_h, hpel_j,
-                                    mv_y, mv_x, base_y, base_x)
-        cb_y = qpel.GUARD // 2 + 8 * rr
+        hpel = (hpel_b, hpel_h, hpel_j)
+        mv_y, mv_x, cost16 = me.motion_search(
+            src_y_mb, ref_y_pad, hpel,
+            base_y, base_x, g4 + 4 * (rr + mb_row_offset), g4 + 4 * cc,
+            cur4, ref4_pad, qp)
+
+        # partition shapes: per-4x4-block MV grid; shape 0=16x16,
+        # 1=16x8, 2=8x16, 3=8x8 (reference partition proposal+search,
+        # `src/h264-lab.h:5224-5256`, `:5423-5498`)
+        mv4_y = jnp.broadcast_to(mv_y[:, None, None], (nmb, 4, 4))
+        mv4_x = jnp.broadcast_to(mv_x[:, None, None], (nmb, 4, 4))
+        shape = jnp.zeros((nmb,), jnp.int32)
+        inter_cost = cost16
+        if enable_partitions:
+            ps = me.partition_search(
+                src_y_mb, ref_y_pad, hpel, base_y, base_x,
+                mv_y >> 2, mv_x >> 2, qp)
+            c168 = ps["cost16x8"] + lam * 12
+            c816 = ps["cost8x16"] + lam * 12
+            c88 = ps["cost8x8"] + lam * 30
+            costs = jnp.stack([cost16, c168, c816, c88], axis=1)
+            shape = jnp.argmin(costs, axis=1).astype(jnp.int32)
+            inter_cost = jnp.min(costs, axis=1)
+
+            half = jnp.asarray([0, 0, 1, 1])
+            mv168_y = jnp.broadcast_to(
+                ps["mv16x8"][:, half, 0][:, :, None], (nmb, 4, 4))
+            mv168_x = jnp.broadcast_to(
+                ps["mv16x8"][:, half, 1][:, :, None], (nmb, 4, 4))
+            mv816_y = jnp.broadcast_to(
+                ps["mv8x16"][:, half, 0][:, None, :], (nmb, 4, 4))
+            mv816_x = jnp.broadcast_to(
+                ps["mv8x16"][:, half, 1][:, None, :], (nmb, 4, 4))
+            quad = jnp.asarray([[0, 0, 1, 1], [0, 0, 1, 1],
+                                [2, 2, 3, 3], [2, 2, 3, 3]])
+            mv88_y = ps["mv8x8"][:, quad, 0]
+            mv88_x = ps["mv8x8"][:, quad, 1]
+            sh = shape[:, None, None]
+            mv4_y = jnp.where(sh == 1, mv168_y,
+                              jnp.where(sh == 2, mv816_y,
+                                        jnp.where(sh == 3, mv88_y, mv4_y)))
+            mv4_x = jnp.where(sh == 1, mv168_x,
+                              jnp.where(sh == 2, mv816_x,
+                                        jnp.where(sh == 3, mv88_x, mv4_x)))
+
+        pred_y_inter = qpel.mc_luma_grid(
+            ref_y_pad, hpel_b, hpel_h, hpel_j, mv4_y, mv4_x, base_y, base_x)
+        cb_y = qpel.GUARD // 2 + 8 * (rr + mb_row_offset)
         cb_x = qpel.GUARD // 2 + 8 * cc
-        pred_u_inter = qpel.mc_chroma(ref_u_pad, mv_y, mv_x, cb_y, cb_x)
-        pred_v_inter = qpel.mc_chroma(ref_v_pad, mv_y, mv_x, cb_y, cb_x)
+        pred_u_inter = qpel.mc_chroma_grid(ref_u_pad, mv4_y, mv4_x,
+                                           cb_y, cb_x)
+        pred_v_inter = qpel.mc_chroma_grid(ref_v_pad, mv4_y, mv4_x,
+                                           cb_y, cb_x)
         lev_inter, recon_y_inter = _encode_inter_luma(
             src_y_mb, pred_y_inter, qp)
         cdc_u_i, cac_u_i, recon_u_inter = _encode_chroma(
@@ -149,6 +198,9 @@ def encode_frame_core(src_y_mb, src_u_mb, src_v_mb,
     else:
         mv_y = jnp.zeros((nmb,), jnp.int32)
         mv_x = jnp.zeros((nmb,), jnp.int32)
+        mv4_y = jnp.zeros((nmb, 4, 4), jnp.int32)
+        mv4_x = jnp.zeros((nmb, 4, 4), jnp.int32)
+        shape = jnp.zeros((nmb,), jnp.int32)
         inter_cost = jnp.full((nmb,), 1 << 30, jnp.int32)
         lev_inter = jnp.zeros((nmb, 4, 4, 4, 4), jnp.int32)
 
@@ -156,8 +208,8 @@ def encode_frame_core(src_y_mb, src_u_mb, src_v_mb,
     nnz_inter_blk = jnp.sum(lev_inter != 0, axis=(-2, -1)).astype(jnp.int32)
     nnz_inter_pad = jnp.concatenate(
         [nnz_inter_blk, jnp.zeros((1, 4, 4), jnp.int32)])
-    mv_y_pad = jnp.concatenate([mv_y, jnp.zeros((1,), jnp.int32)])
-    mv_x_pad = jnp.concatenate([mv_x, jnp.zeros((1,), jnp.int32)])
+    mv4_y_pad = jnp.concatenate([mv4_y, jnp.zeros((1, 4, 4), jnp.int32)])
+    mv4_x_pad = jnp.concatenate([mv4_x, jnp.zeros((1, 4, 4), jnp.int32)])
 
     def _deblock_diag(didx, sel_arr, df_y, df_u, df_v):
         """Deblock the MBs of one (lagged) diagonal: V edges then H."""
@@ -179,41 +231,38 @@ def encode_frame_core(src_y_mb, src_u_mb, src_v_mb,
         nz_cur = nnz_inter_pad[ci]
         nz_left = nnz_inter_pad[li]
         nz_top = nnz_inter_pad[ti]
-        mvyc, mvxc = mv_y_pad[ci], mv_x_pad[ci]
-        mvyl, mvxl = mv_y_pad[li], mv_x_pad[li]
-        mvyt, mvxt = mv_y_pad[ti], mv_x_pad[ti]
+        my_cur, mx_cur = mv4_y_pad[ci], mv4_x_pad[ci]
+        my_left, mx_left = mv4_y_pad[li], mv4_x_pad[li]
+        my_top, mx_top = mv4_y_pad[ti], mv4_x_pad[ti]
 
-        def bs_sets(intra_nb, nz_nb, mvy_nb, mvx_nb, has_nb, vertical):
+        def bs_sets(intra_nb, nz_nb, my_nb, mx_nb, has_nb, vertical):
             """(k, 4 edges, 4 groups) boundary strengths."""
-            k = ci.shape[0]
             out = []
+
+            def sel(a, edge):
+                # block column (vertical) / row (horizontal) `edge` of a
+                # per-block (k, 4, 4) array
+                return a[:, :, edge] if vertical else a[:, edge, :]
+
             # edge 0: MB boundary
-            if vertical:
-                nz_p = nz_nb[:, :, 3]
-                nz_q = nz_cur[:, :, 0]
-            else:
-                nz_p = nz_nb[:, 3, :]
-                nz_q = nz_cur[:, 0, :]
             bs0 = deblock.mb_edge_bs(
-                intra_nb[:, None], intra_cur[:, None], nz_p, nz_q,
-                mvy_nb[:, None], mvx_nb[:, None],
-                mvyc[:, None], mvxc[:, None], True)
+                intra_nb[:, None], intra_cur[:, None],
+                sel(nz_nb, 3), sel(nz_cur, 0),
+                sel(my_nb, 3), sel(mx_nb, 3),
+                sel(my_cur, 0), sel(mx_cur, 0), True)
             out.append(jnp.where(has_nb[:, None], bs0, 0))
-            # internal edges 1..3 (same MB, same MV)
+            # internal edges 1..3 (partition boundaries can carry bS 1)
             for e in range(1, 4):
-                if vertical:
-                    nz_p = nz_cur[:, :, e - 1]
-                    nz_q = nz_cur[:, :, e]
-                else:
-                    nz_p = nz_cur[:, e - 1, :]
-                    nz_q = nz_cur[:, e, :]
-                bse = jnp.where(intra_cur[:, None], 3,
-                                jnp.where((nz_p > 0) | (nz_q > 0), 2, 0))
+                bse = deblock.mb_edge_bs(
+                    intra_cur[:, None], intra_cur[:, None],
+                    sel(nz_cur, e - 1), sel(nz_cur, e),
+                    sel(my_cur, e - 1), sel(mx_cur, e - 1),
+                    sel(my_cur, e), sel(mx_cur, e), False)
                 out.append(jnp.where(dmask[:, None], bse, 0))
             return jnp.stack(out, axis=1)
 
-        bs_v = bs_sets(intra_left, nz_left, mvyl, mvxl, has_left, True)
-        bs_h = bs_sets(intra_top, nz_top, mvyt, mvxt, has_top, False)
+        bs_v = bs_sets(intra_left, nz_left, my_left, mx_left, has_left, True)
+        bs_h = bs_sets(intra_top, nz_top, my_top, mx_top, has_top, False)
 
         # ---- luma vertical ----
         strip = jnp.concatenate(
@@ -441,17 +490,22 @@ def encode_frame_core(src_y_mb, src_u_mb, src_v_mb,
      dc_lev, ac_lev, cdc_lev, cac_lev, recon_y, recon_u, recon_v,
      df_y, df_u, df_v) = carry
 
-    mv_y = jnp.where(sel != SEL_INTER, 0, mv_y)
-    mv_x = jnp.where(sel != SEL_INTER, 0, mv_x)
+    is_intra_mb = sel != SEL_INTER
+    mv_y = jnp.where(is_intra_mb, 0, mv_y)
+    mv_x = jnp.where(is_intra_mb, 0, mv_x)
+    mv4_y = jnp.where(is_intra_mb[:, None, None], 0, mv4_y)
+    mv4_x = jnp.where(is_intra_mb[:, None, None], 0, mv4_x)
+    shape = jnp.where(is_intra_mb, 0, shape)
 
     out = symbolize(sel, mode16, cmode, i4modes, i4sym_v, i4sym_l,
-                    mv_y, mv_x, dc_lev, ac_lev, lev_inter, cdc_lev, cac_lev,
-                    mb_width, mb_height, has_inter)
+                    mv4_y, mv4_x, shape, dc_lev, ac_lev, lev_inter,
+                    cdc_lev, cac_lev, mb_width, mb_height, has_inter)
     if not enable_deblock:
         df_y, df_u, df_v = recon_y, recon_u, recon_v
     out.update(dict(recon_y=recon_y, recon_u=recon_u, recon_v=recon_v,
                     df_y=df_y, df_u=df_u, df_v=df_v,
-                    mv_y=mv_y, mv_x=mv_x, sel=sel, i4modes=i4modes))
+                    mv_y=mv_y, mv_x=mv_x, mv4_y=mv4_y, mv4_x=mv4_x,
+                    shape=shape, sel=sel, i4modes=i4modes))
     return out
 
 
@@ -483,59 +537,120 @@ def _neighbor_shift(arr2d, dy, dx, fill):
     return jnp.where(ok, a, fill), ok
 
 
-def _mv_predictors(mv_y, mv_x, is_intra, mb_width, mb_height):
-    """Spec 8.4.1.3 median + 8.4.1.1 P_Skip predictors (16x16, 1 ref)."""
+def _mv_predictors(mv4_y, mv4_x, is_intra, mb_width, mb_height):
+    """Per-partition MV predictors over the 4x4-block MV grid.
+
+    Implements spec 8.4.1.3 incl. the directional 16x8/8x16 preferences
+    and the neighbour availability of partitions in decode order, plus the
+    8.4.1.1 P_Skip predictor. Returns a dict of (nmb, ...) arrays:
+      mvp[shape][part] for the 4 shapes, skip predictor, per the fixed
+      partition layouts (16x16; 16x8 top/bottom; 8x16 left/right; 8x8 q0..3).
+    """
     mbh, mbw = mb_height, mb_width
-    my = mv_y.reshape(mbh, mbw)
-    mx = mv_x.reshape(mbh, mbw)
-    intra2d = is_intra.reshape(mbh, mbw)
+    nmb = mbh * mbw
+    BH, BW = 4 * mbh, 4 * mbw
+    rr = jnp.arange(nmb, dtype=jnp.int32) // mbw
+    cc = jnp.arange(nmb, dtype=jnp.int32) % mbw
 
-    def nb(dy, dx):
-        sy, _ = _neighbor_shift(my, dy, dx, 0)
-        sx, _ = _neighbor_shift(mx, dy, dx, 0)
-        ii, avail = _neighbor_shift(intra2d, dy, dx, True)
-        ref0 = avail & ~ii
-        return (jnp.where(ref0, sy, 0), jnp.where(ref0, sx, 0), ref0, avail)
+    MVY = (mv4_y.reshape(mbh, mbw, 4, 4).transpose(0, 2, 1, 3)
+           .reshape(BH, BW))
+    MVX = (mv4_x.reshape(mbh, mbw, 4, 4).transpose(0, 2, 1, 3)
+           .reshape(BH, BW))
+    ref0_mb = (~is_intra).reshape(mbh, mbw)
+    REF0 = jnp.repeat(jnp.repeat(ref0_mb, 4, 0), 4, 1)
+    pad = ((1, 4), (1, 4))          # allow offsets -1..7
+    MVYp = jnp.pad(MVY, pad)
+    MVXp = jnp.pad(MVX, pad)
+    REF0p = jnp.pad(REF0, pad)
+    AVAILp = jnp.pad(jnp.ones((BH, BW), bool), pad)
 
-    ay, ax, aref, aav = nb(0, 1)
-    by, bx, bref, bav = nb(1, 0)
-    cy_, cx_, cref, cav = nb(1, -1)
-    dy_, dx_, dref, dav = nb(1, 1)
-    cy_ = jnp.where(cav, cy_, dy_)
-    cx_ = jnp.where(cav, cx_, dx_)
-    cref = jnp.where(cav, cref, dref)
-    cav2 = cav | dav
+    def blk(dy, dx, static_avail=True):
+        """Neighbour block at MB-relative block offset (dy, dx)."""
+        ys = 4 * rr + dy + 1
+        xs = 4 * cc + dx + 1
+        avail = AVAILp[ys, xs] & static_avail
+        ref = REF0p[ys, xs] & avail
+        my = jnp.where(ref, MVYp[ys, xs], 0)
+        mx = jnp.where(ref, MVXp[ys, xs], 0)
+        return my, mx, ref, avail
 
-    subst = (~bav) & (~cav2) & aav
-    by = jnp.where(subst, ay, by)
-    bx = jnp.where(subst, ax, bx)
-    bref = jnp.where(subst, aref, bref)
-    cy_ = jnp.where(subst, ay, cy_)
-    cx_ = jnp.where(subst, ax, cx_)
-    cref = jnp.where(subst, aref, cref)
+    def derive(a, b, c, d, directional=None):
+        """a/b/c/d = (dy, dx, static_avail). Returns (mvp_y, mvp_x)."""
+        ay, ax, aref, aav = blk(*a)
+        by, bx, bref, bav = blk(*b)
+        cy, cx, cref, cav = blk(*c)
+        dy_, dx_, dref, dav = blk(*d)
+        # C unavailable -> D substitution (8.4.1.3.2)
+        cy = jnp.where(cav, cy, dy_)
+        cx = jnp.where(cav, cx, dx_)
+        cref = jnp.where(cav, cref, dref)
+        cav2 = cav | dav
+        # B,C both unavailable and A available -> take A
+        subst = (~bav) & (~cav2) & aav
+        by = jnp.where(subst, ay, by)
+        bx = jnp.where(subst, ax, bx)
+        bref = jnp.where(subst, aref, bref)
+        cy = jnp.where(subst, ay, cy)
+        cx = jnp.where(subst, ax, cx)
+        cref = jnp.where(subst, aref, cref)
 
-    cnt = (aref.astype(jnp.int32) + bref.astype(jnp.int32)
-           + cref.astype(jnp.int32))
-    only_a = (cnt == 1) & aref
-    only_b = (cnt == 1) & bref
-    only_c = (cnt == 1) & cref
-    mvp_y = jnp.where(only_a, ay, jnp.where(only_b, by,
-                      jnp.where(only_c, cy_, _median3(ay, by, cy_))))
-    mvp_x = jnp.where(only_a, ax, jnp.where(only_b, bx,
-                      jnp.where(only_c, cx_, _median3(ax, bx, cx_))))
+        cnt = (aref.astype(jnp.int32) + bref.astype(jnp.int32)
+               + cref.astype(jnp.int32))
+        only_a = (cnt == 1) & aref
+        only_b = (cnt == 1) & bref
+        only_c = (cnt == 1) & cref
+        mvp_y = jnp.where(only_a, ay, jnp.where(only_b, by,
+                          jnp.where(only_c, cy, _median3(ay, by, cy))))
+        mvp_x = jnp.where(only_a, ax, jnp.where(only_b, bx,
+                          jnp.where(only_c, cx, _median3(ax, bx, cx))))
+        if directional == "A":
+            mvp_y = jnp.where(aref, ay, mvp_y)
+            mvp_x = jnp.where(aref, ax, mvp_x)
+        elif directional == "B":
+            mvp_y = jnp.where(bref, by, mvp_y)
+            mvp_x = jnp.where(bref, bx, mvp_x)
+        elif directional == "C":
+            mvp_y = jnp.where(cref, cy, mvp_y)
+            mvp_x = jnp.where(cref, cx, mvp_x)
+        return mvp_y, mvp_x
 
+    A = lambda dy, dx: (dy, dx, True)
+    NO = (0, 0, False)
+    out = {}
+    out[0] = [derive(A(0, -1), A(-1, 0), A(-1, 4), A(-1, -1))]
+    out[1] = [derive(A(0, -1), A(-1, 0), A(-1, 4), A(-1, -1), "B"),
+              derive(A(2, -1), A(1, 0), NO, A(1, -1), "A")]
+    out[2] = [derive(A(0, -1), A(-1, 0), A(-1, 2), A(-1, -1), "A"),
+              derive(A(0, 1), A(-1, 2), A(-1, 4), A(-1, 1), "C")]
+    out[3] = [derive(A(0, -1), A(-1, 0), A(-1, 2), A(-1, -1)),
+              derive(A(0, 1), A(-1, 2), A(-1, 4), A(-1, 1)),
+              derive(A(2, -1), A(1, 0), A(1, 2), A(1, -1)),
+              derive(A(2, 1), A(1, 2), NO, A(1, 1))]
+
+    # P_Skip predictor (8.4.1.1): based on the 16x16 A/B neighbours
+    ay, ax, aref, aav = blk(0, -1)
+    by, bx, bref, bav = blk(-1, 0)
     a_zero = aref & (ay == 0) & (ax == 0)
     b_zero = bref & (by == 0) & (bx == 0)
     force0 = (~aav) | (~bav) | a_zero | b_zero
-    skip_y = jnp.where(force0, 0, mvp_y)
-    skip_x = jnp.where(force0, 0, mvp_x)
-    return (mvp_y.reshape(-1), mvp_x.reshape(-1),
-            skip_y.reshape(-1), skip_x.reshape(-1))
+    skip_y = jnp.where(force0, 0, out[0][0][0])
+    skip_x = jnp.where(force0, 0, out[0][0][1])
+    return out, skip_y, skip_x
+
+
+# partition layouts: top-left block (by, bx) per partition, per shape
+_PART_BLOCKS = {
+    0: [(0, 0)],
+    1: [(0, 0), (2, 0)],
+    2: [(0, 0), (0, 2)],
+    3: [(0, 0), (0, 2), (2, 0), (2, 2)],
+}
+_N_PARTS = (1, 2, 2, 4)
 
 
 def symbolize(sel, mode16, cmode, i4modes, i4sym_v, i4sym_l,
-              mv_y, mv_x, dc_lev, ac_lev, lev_inter, cdc_lev, cac_lev,
-              mb_width: int, mb_height: int, has_inter: bool):
+              mv4_y, mv4_x, shape, dc_lev, ac_lev, lev_inter, cdc_lev,
+              cac_lev, mb_width: int, mb_height: int, has_inter: bool):
     """CAVLC + syntax symbol assembly for one slice (I or P)."""
     nmb = mb_width * mb_height
     ns = cavlc.N_SLOTS
@@ -571,15 +686,26 @@ def symbolize(sel, mode16, cmode, i4modes, i4sym_v, i4sym_l,
     cbp = cbp_luma + (cbpc << 4)
 
     # ---- predictors, skip (P) --------------------------------------------
+    # per-partition MVDs: (nmb, 4) arrays, only the first _N_PARTS[shape]
+    # entries are coded
+    mvd_py = jnp.zeros((nmb, 4), jnp.int32)
+    mvd_px = jnp.zeros((nmb, 4), jnp.int32)
     if has_inter:
-        mvp_y, mvp_x, skip_y, skip_x = _mv_predictors(
-            mv_y, mv_x, is_intra, mb_width, mb_height)
-        mvd_y = mv_y - mvp_y
-        mvd_x = mv_x - mvp_x
-        skip = is_inter & (cbp == 0) & (mv_y == skip_y) & (mv_x == skip_x)
+        mvps, skip_y, skip_x = _mv_predictors(
+            mv4_y, mv4_x, is_intra, mb_width, mb_height)
+        for sh in range(4):
+            for p, (by, bx) in enumerate(_PART_BLOCKS[sh]):
+                sel_sh = shape == sh
+                mvp_y, mvp_x = mvps[sh][p]
+                mvd_py = mvd_py.at[:, p].set(
+                    jnp.where(sel_sh, mv4_y[:, by, bx] - mvp_y,
+                              mvd_py[:, p]))
+                mvd_px = mvd_px.at[:, p].set(
+                    jnp.where(sel_sh, mv4_x[:, by, bx] - mvp_x,
+                              mvd_px[:, p]))
+        skip = (is_inter & (shape == 0) & (cbp == 0)
+                & (mv4_y[:, 0, 0] == skip_y) & (mv4_x[:, 0, 0] == skip_x))
     else:
-        mvd_y = jnp.zeros((nmb,), jnp.int32)
-        mvd_x = jnp.zeros((nmb,), jnp.int32)
         skip = jnp.zeros((nmb,), bool)
     coded = ~skip
 
@@ -678,7 +804,7 @@ def symbolize(sel, mode16, cmode, i4modes, i4sym_v, i4sym_l,
         trailing = s_cum[-1] - jnp.maximum(jnp.max(marker), 0)
         tr_v, tr_l = _ue_codes(jnp.maximum(trailing, 0))
         tr_l = jnp.where(trailing > 0, tr_l, 0)
-        mb_type_val = jnp.where(is_inter, 0,
+        mb_type_val = jnp.where(is_inter, shape,
                                 jnp.where(is_i4, 5, 5 + i16code))
     else:
         sr_v = jnp.zeros((nmb,), jnp.uint32)
@@ -690,11 +816,21 @@ def symbolize(sel, mode16, cmode, i4modes, i4sym_v, i4sym_l,
     mt_v, mt_l = _ue_codes(mb_type_val)
     mt_l = jnp.where(coded, mt_l, 0)
 
-    mvdx_v, mvdx_l = _se_codes(mvd_x)
-    mvdy_v, mvdy_l = _se_codes(mvd_y)
     inter_coded = coded & is_inter
-    mvdx_l = jnp.where(inter_coded, mvdx_l, 0)
-    mvdy_l = jnp.where(inter_coded, mvdy_l, 0)
+    n_parts = jnp.asarray(_N_PARTS)[jnp.clip(shape, 0, 3)]
+    # sub_mb_type: P_8x8 emits four ue(0) ("1") entries
+    sub_v = jnp.ones((nmb, 4), jnp.uint32)
+    sub_l = jnp.where((inter_coded & (shape == 3))[:, None],
+                      jnp.ones((nmb, 4), jnp.int32), 0)
+    # per-partition MVDs, interleaved (x, y) per partition
+    part_active = (jnp.arange(4)[None, :] < n_parts[:, None]) \
+        & inter_coded[:, None]
+    mvdx_v, mvdx_l = _se_codes(mvd_px)
+    mvdy_v, mvdy_l = _se_codes(mvd_py)
+    mvdx_l = jnp.where(part_active, mvdx_l, 0)
+    mvdy_l = jnp.where(part_active, mvdy_l, 0)
+    mvd_vals = jnp.stack([mvdx_v, mvdy_v], axis=2).reshape(nmb, 8)
+    mvd_lens = jnp.stack([mvdx_l, mvdy_l], axis=2).reshape(nmb, 8)
 
     # i4 mode symbols (16 slots, only for i4 MBs)
     i4sym_l = jnp.where(is_i4[:, None], i4sym_l, 0)
@@ -712,12 +848,12 @@ def symbolize(sel, mode16, cmode, i4modes, i4sym_v, i4sym_l,
     dqp_l = jnp.where(dqp_needed, 1, 0)
 
     hdr_vals = jnp.concatenate([
-        sr_v[:, None], mt_v[:, None], i4sym_v.astype(jnp.uint32),
-        mvdx_v[:, None], mvdy_v[:, None], cm_v[:, None],
+        sr_v[:, None], mt_v[:, None], sub_v, mvd_vals,
+        i4sym_v.astype(jnp.uint32), cm_v[:, None],
         cbpv[:, None], dqp_v[:, None]], axis=1)
     hdr_lens = jnp.concatenate([
-        sr_l[:, None], mt_l[:, None], i4sym_l,
-        mvdx_l[:, None], mvdy_l[:, None], cm_l[:, None],
+        sr_l[:, None], mt_l[:, None], sub_l, mvd_lens,
+        i4sym_l, cm_l[:, None],
         cbpl_[:, None], dqp_l[:, None]], axis=1)
 
     # ---- assembly ---------------------------------------------------------
@@ -742,13 +878,13 @@ def symbolize(sel, mode16, cmode, i4modes, i4sym_v, i4sym_l,
     return dict(sym_vals=sym_vals, sym_lens=sym_lens,
                 total_bits=jnp.sum(sym_lens).astype(jnp.int32),
                 skip=skip, cbp=cbp, cbpc=cbpc,
-                mvd_y=mvd_y, mvd_x=mvd_x)
+                mvd_py=mvd_py, mvd_px=mvd_px)
 
 
 encode_frame = jax.jit(
     encode_frame_core,
     static_argnames=("mb_width", "mb_height", "has_inter", "enable_i4x4",
-                     "enable_deblock"))
+                     "enable_deblock", "enable_partitions"))
 
 
 def encode_intra_core(src_y_mb, src_u_mb, src_v_mb, qp, qpc,

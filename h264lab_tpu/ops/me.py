@@ -163,3 +163,102 @@ def motion_search(cur_mb, ref_pad, hpel, base_y, base_x, base_y4, base_x4,
     cost, qy, qx = subpel_refine(cur_mb, planes, base_y, base_x,
                                  qy, qx, lam, step=1)
     return qy, qx, cost
+
+
+# ---------------------------------------------------------------------------
+# Partition motion search (16x8 / 8x16 / 8x8)
+# ---------------------------------------------------------------------------
+
+def subpel_refine_block(cur, planes, base_y, base_x, mv_y_q, mv_x_q, lam,
+                        step: int, bh: int, bw: int):
+    """Sub-pel refinement for arbitrary block shapes (partition ME).
+    cur: (k, bh, bw). Returns (cost, mv_y_q, mv_x_q)."""
+    full, b, h, j = planes
+    cur_i = cur.astype(jnp.int32)
+
+    def cand(i, best):
+        best_cost, best_y, best_x = best
+        yy = mv_y_q + _SUBPEL_OFFS[i, 0] * step
+        xx = mv_x_q + _SUBPEL_OFFS[i, 1] * step
+        pred = qpel.mc_luma(full, b, h, j, yy, xx, base_y, base_x, bh, bw)
+        sad = jnp.sum(jnp.abs(cur_i - pred.astype(jnp.int32)), axis=(1, 2))
+        cost = sad + lam * (mv_bits(yy) + mv_bits(xx))
+        better = cost < best_cost
+        return (jnp.where(better, cost, best_cost),
+                jnp.where(better, yy, best_y),
+                jnp.where(better, xx, best_x))
+
+    pred0 = qpel.mc_luma(full, b, h, j, mv_y_q, mv_x_q, base_y, base_x,
+                         bh, bw)
+    sad0 = jnp.sum(jnp.abs(cur_i - pred0.astype(jnp.int32)), axis=(1, 2))
+    cost0 = sad0 + lam * (mv_bits(mv_y_q) + mv_bits(mv_x_q))
+    return jax.lax.fori_loop(0, 8, cand, (cost0, mv_y_q, mv_x_q))
+
+
+def refine_block(cur, ref_pad, base_y, base_x, center_y, center_x, lam,
+                 bh: int, bw: int):
+    """Full-pel ±REFINE_R dense refinement for an arbitrary block shape."""
+    dy, dx = _window_offsets(REFINE_R)
+
+    def cand(i, best):
+        best_cost, best_y, best_x = best
+        yy = center_y + dy[i]
+        xx = center_x + dx[i]
+        blk = qpel.gather_blocks(ref_pad, base_y + yy, base_x + xx,
+                                 bh, bw).astype(jnp.int32)
+        sad = jnp.sum(jnp.abs(cur.astype(jnp.int32) - blk), axis=(1, 2))
+        cost = sad + lam * (mv_bits(yy * 4) + mv_bits(xx * 4))
+        better = cost < best_cost
+        return (jnp.where(better, cost, best_cost),
+                jnp.where(better, yy, best_y),
+                jnp.where(better, xx, best_x))
+
+    k = cur.shape[0]
+    init = (jnp.full((k,), 1 << 30, jnp.int32),
+            jnp.zeros((k,), jnp.int32), jnp.zeros((k,), jnp.int32))
+    return jax.lax.fori_loop(0, dy.shape[0], cand, init)
+
+
+def partition_search(cur_mb, ref_pad, hpel, base_y, base_x,
+                     center_full_y, center_full_x, qp):
+    """Motion search for all sub-partitions of every MB, seeded from the
+    16x16 full-pel winner (center_full_*, full-pel units).
+
+    Returns dict with per-shape quarter-pel MVs and costs:
+      mv16x8 (k, 2, 2), mv8x16 (k, 2, 2), mv8x8 (k, 4, 2) [..., (y, x)]
+      cost16x8/cost8x16/cost8x8: (k,) summed SAD+lambda*mvbits costs.
+    """
+    lam = lambda_me(qp)
+    b, h, j = hpel
+    planes = (ref_pad, b, h, j)
+
+    def search_sub(oy, ox, bh, bw):
+        cur = cur_mb[:, oy:oy + bh, ox:ox + bw]
+        by = base_y + oy
+        bx = base_x + ox
+        c, my, mx = refine_block(cur, ref_pad, by, bx,
+                                 center_full_y, center_full_x, lam, bh, bw)
+        c, qy, qx = subpel_refine_block(cur, planes, by, bx, my * 4, mx * 4,
+                                        lam, 2, bh, bw)
+        c, qy, qx = subpel_refine_block(cur, planes, by, bx, qy, qx,
+                                        lam, 1, bh, bw)
+        return c, qy, qx
+
+    out = {}
+    # 16x8 (top, bottom)
+    parts = [search_sub(0, 0, 8, 16), search_sub(8, 0, 8, 16)]
+    out["mv16x8"] = jnp.stack(
+        [jnp.stack([p[1], p[2]], axis=-1) for p in parts], axis=1)
+    out["cost16x8"] = parts[0][0] + parts[1][0]
+    # 8x16 (left, right)
+    parts = [search_sub(0, 0, 16, 8), search_sub(0, 8, 16, 8)]
+    out["mv8x16"] = jnp.stack(
+        [jnp.stack([p[1], p[2]], axis=-1) for p in parts], axis=1)
+    out["cost8x16"] = parts[0][0] + parts[1][0]
+    # 8x8 (raster quadrants)
+    parts = [search_sub(0, 0, 8, 8), search_sub(0, 8, 8, 8),
+             search_sub(8, 0, 8, 8), search_sub(8, 8, 8, 8)]
+    out["mv8x8"] = jnp.stack(
+        [jnp.stack([p[1], p[2]], axis=-1) for p in parts], axis=1)
+    out["cost8x8"] = sum(p[0] for p in parts)
+    return out

@@ -159,3 +159,37 @@ def mc_chroma(plane: jnp.ndarray, mv_y: jnp.ndarray, mv_x: jnp.ndarray,
     out = ((8 - fx) * (8 - fy) * A + fx * (8 - fy) * B
            + (8 - fx) * fy * C + fx * fy * D + 32) >> 6
     return out.astype(jnp.uint8)
+
+
+def mc_luma_grid(full, b, h, j, mv4_y, mv4_x, mb_base_y, mb_base_x):
+    """Per-4x4-block luma MC: mv4_* (k, 4, 4) quarter-pel MVs (constant
+    within each partition), mb_base_*: (k,) MB top-left in padded coords.
+    Equivalent to partition MC since interpolation is pointwise.
+    Returns (k, 16, 16) uint8."""
+    k = mv4_y.shape[0]
+    oy = jnp.arange(4, dtype=jnp.int32) * 4
+    by = jnp.broadcast_to(mb_base_y[:, None, None] + oy[None, :, None],
+                          (k, 4, 4)).reshape(-1)
+    bx = jnp.broadcast_to(mb_base_x[:, None, None] + oy[None, None, :],
+                          (k, 4, 4)).reshape(-1)
+    my = mv4_y.reshape(-1)
+    mx = mv4_x.reshape(-1)
+    blocks = mc_luma(full, b, h, j, my, mx, by, bx, 4, 4)
+    return (blocks.reshape(k, 4, 4, 4, 4)
+            .transpose(0, 1, 3, 2, 4).reshape(k, 16, 16))
+
+
+def mc_chroma_grid(plane, mv4_y, mv4_x, cb_base_y, cb_base_x):
+    """Per-4x4-luma-block chroma MC (2x2 chroma pixels per block).
+    Returns (k, 8, 8) uint8."""
+    k = mv4_y.shape[0]
+    oy = jnp.arange(4, dtype=jnp.int32) * 2
+    by = jnp.broadcast_to(cb_base_y[:, None, None] + oy[None, :, None],
+                          (k, 4, 4)).reshape(-1)
+    bx = jnp.broadcast_to(cb_base_x[:, None, None] + oy[None, None, :],
+                          (k, 4, 4)).reshape(-1)
+    my = mv4_y.reshape(-1)
+    mx = mv4_x.reshape(-1)
+    blocks = mc_chroma(plane, my, mx, by, bx, 2, 2)
+    return (blocks.reshape(k, 4, 4, 2, 2)
+            .transpose(0, 1, 3, 2, 4).reshape(k, 8, 8))

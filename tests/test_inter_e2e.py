@@ -55,3 +55,43 @@ def test_ippp_many_frames_with_idr_refresh(codec):
     assert types == ["IDR", "P", "P", "IDR", "P", "P", "IDR"]
     for i, ((ry, _, _), (dy, _, _)) in enumerate(zip(recons, decoded)):
         np.testing.assert_array_equal(dy, ry, err_msg=f"frame {i}")
+
+
+def test_multi_slice_bands_bit_exact(codec):
+    """Multi-slice frames (3 bands) with deblock idc=2 at slice edges."""
+    H264Encoder, H264Decoder = codec
+    cfg = EncoderConfig(width=128, height=96, gop=20, qp=30, slice_bands=3)
+    enc = H264Encoder(cfg)
+    stream = b""
+    recons = []
+    for (y, u, v) in chessboard_sequence(128, 96, 3):
+        res = enc.encode(y, u, v, RunConfig(qp_min=30, qp_max=30),
+                         return_recon=True)
+        stream += res.payload
+        recons.append(res.recon)
+    dec = H264Decoder()
+    frames = dec.decode(stream)
+    assert len(frames) == 3
+    for i, f in enumerate(frames):
+        dy, du, dv = f.cropped(dec.sps)
+        np.testing.assert_array_equal(dy, recons[i][0], err_msg=f"f{i} y")
+        np.testing.assert_array_equal(du, recons[i][1], err_msg=f"f{i} u")
+
+
+def test_nalu_size_splitting(codec):
+    """desired_nalu_bytes re-bands frames into multiple NAL units."""
+    H264Encoder, H264Decoder = codec
+    from h264lab_tpu.bitstream.nal import split_annexb
+    cfg = EncoderConfig(width=128, height=96, gop=1, qp=24)
+    enc = H264Encoder(cfg)
+    run = RunConfig(qp_min=24, qp_max=24, desired_nalu_bytes=400)
+    payloads = []
+    for (y, u, v) in chessboard_sequence(128, 96, 3):
+        payloads.append(enc.encode(y, u, v, run).payload)
+    # after the first frame the encoder knows the frame size and re-bands
+    n_slices = len([n for n in split_annexb(payloads[-1])
+                    if (n[0] & 0x1F) in (1, 5)])
+    assert n_slices >= 2, n_slices
+    dec = H264Decoder()
+    frames = dec.decode(b"".join(payloads))
+    assert len(frames) == 3
