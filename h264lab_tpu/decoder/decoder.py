@@ -184,6 +184,8 @@ class H264Decoder:
         self.coeff_scan = coeff_scan
         self.sps: Sps | None = None
         self.pps: Pps | None = None
+        self._sps_by_id = {}
+        self._pps_by_id = {}
         self.frames: list[DecodedFrame] = []
         self._cur: DecodedFrame | None = None
         # per-picture context
@@ -209,27 +211,37 @@ class H264Decoder:
             header = nal[0]
             nal_type = header & 0x1F
             rbsp = unescape_rbsp(nal[1:])
-            if nal_type == 7:
-                self.sps = parse_sps(rbsp)
+            if nal_type in (7, 15):          # SPS / subset SPS
+                sps = parse_sps(rbsp)
+                self._sps_by_id[sps.sps_id] = sps
+                if nal_type == 7:
+                    self.sps = sps
             elif nal_type == 8:
-                self.pps = parse_pps(rbsp)
+                pps = parse_pps(rbsp)
+                self._pps_by_id[pps.pps_id] = pps
+                if self.pps is None:
+                    self.pps = pps
             elif nal_type in (1, 5):
                 self._decode_slice(rbsp, nal_type == 5, (header >> 5) & 3)
             elif nal_type in (6, 9, 12):
                 continue  # SEI / AUD / filler
+            elif nal_type in (14, 20):
+                continue  # SVC prefix / enhancement (base-layer extraction)
             else:
                 raise NotImplementedError(f"NAL type {nal_type}")
         return self.frames
 
     # ---------------- slice ----------------
     def _decode_slice(self, rbsp: bytes, is_idr: bool, nal_ref_idc: int):
-        sps, pps = self.sps, self.pps
         br = BitReader(rbsp)
         first_mb = br.ue()
         slice_type = br.ue()
         if slice_type >= 5:
             slice_type -= 5
-        br.ue()  # pps id
+        pps_id = br.ue()
+        pps = self._pps_by_id.get(pps_id, self.pps)
+        sps = self._sps_by_id.get(pps.sps_id, self.sps)
+        self.pps, self.sps = pps, sps
         br.u(sps.log2_max_frame_num)  # frame_num
         if is_idr:
             br.ue()  # idr_pic_id

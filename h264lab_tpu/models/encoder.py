@@ -17,7 +17,7 @@ from h264lab_tpu.config import EncoderConfig, RunConfig, FrameType
 from h264lab_tpu.bitstream import BitWriter, headers
 from h264lab_tpu.bitstream.nal import annexb_nal
 from h264lab_tpu.models import mbscan, refstate, wavefront
-from h264lab_tpu.ops import bitpack, tables
+from h264lab_tpu.ops import bitpack, denoise, tables
 from h264lab_tpu.rc.ratecontrol import RateControl, filler_nal
 
 PIC_INIT_QP = 26
@@ -65,6 +65,7 @@ class H264Encoder:
         self._force_transparent = False
         self._last_frame_bytes = 0
         self._band_cache = {}
+        self._denoise_prev = None   # previous denoised planes
         self.rc = RateControl(cfg.n_mb, cfg.gop, cfg.vbv_size_bytes, cfg.qp)
 
         self._sps = headers.SpsParams(
@@ -175,6 +176,19 @@ class H264Encoder:
             is_intra_frame, run.desired_frame_bytes,
             int(np.clip(run.qp_min, 10, 51)), int(np.clip(run.qp_max, 10, 51)))
         qpc = int(tables.QPC_FROM_QPY[qp])
+
+        # temporal denoise pre-filter (reference gating: flag set and
+        # speed < 2, `src/h264-lab.h:6684-6697`)
+        if cfg.temporal_denoise_flag and run.encode_speed < 2:
+            y = np.asarray(y, dtype=np.uint8)
+            u = np.asarray(u, dtype=np.uint8)
+            v = np.asarray(v, dtype=np.uint8)
+            if self._denoise_prev is not None:
+                py, pu, pv = self._denoise_prev
+                y = np.asarray(denoise.denoise_plane_jit(y, py))
+                u = np.asarray(denoise.denoise_plane_jit(u, pu))
+                v = np.asarray(denoise.denoise_plane_jit(v, pv))
+            self._denoise_prev = (y, u, v)
 
         ty, tu, tv = self._pad_tiles(y, u, v)
         enable_i4x4 = is_intra_frame or run.encode_speed < 2

@@ -133,14 +133,14 @@ def encode_frame_core(src_y_mb, src_u_mb, src_v_mb,
     if has_inter:
         base_y = qpel.GUARD + 16 * (rr + mb_row_offset)
         base_x = qpel.GUARD + 16 * cc
-        g4 = qpel.GUARD // 4
-        t = src_y_mb.astype(jnp.int32).reshape(nmb, 4, 4, 4, 4)
-        cur4 = ((t.sum(axis=(2, 4)) + 8) >> 4).astype(jnp.uint8)
         hpel = (hpel_b, hpel_h, hpel_j)
-        mv_y, mv_x, cost16 = me.motion_search(
-            src_y_mb, ref_y_pad, hpel,
-            base_y, base_x, g4 + 4 * (rr + mb_row_offset), g4 + 4 * cc,
-            cur4, ref4_pad, qp)
+        # band luma plane for the dense (gather-free) full-pel search
+        cur_plane = (src_y_mb.reshape(mb_height, mb_width, 16, 16)
+                     .transpose(0, 2, 1, 3)
+                     .reshape(mb_height * 16, mb_width * 16))
+        mv_y, mv_x, cost16, pred16 = me.motion_search_dense(
+            cur_plane, src_y_mb, ref_y_pad, hpel, base_y, base_x, qp,
+            mb_height, mb_width, mb_row_offset)
 
         # partition shapes: per-4x4-block MV grid; shape 0=16x16,
         # 1=16x8, 2=8x16, 3=8x8 (reference partition proposal+search,
@@ -181,8 +181,12 @@ def encode_frame_core(src_y_mb, src_u_mb, src_v_mb,
                               jnp.where(sh == 2, mv816_x,
                                         jnp.where(sh == 3, mv88_x, mv4_x)))
 
-        pred_y_inter = qpel.mc_luma_grid(
-            ref_y_pad, hpel_b, hpel_h, hpel_j, mv4_y, mv4_x, base_y, base_x)
+        if enable_partitions:
+            pred_y_inter = qpel.mc_luma_grid(
+                ref_y_pad, hpel_b, hpel_h, hpel_j, mv4_y, mv4_x,
+                base_y, base_x)
+        else:
+            pred_y_inter = pred16    # dense ME already produced the MC
         cb_y = qpel.GUARD // 2 + 8 * (rr + mb_row_offset)
         cb_x = qpel.GUARD // 2 + 8 * cc
         pred_u_inter = qpel.mc_chroma_grid(ref_u_pad, mv4_y, mv4_x,

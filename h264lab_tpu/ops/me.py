@@ -262,3 +262,137 @@ def partition_search(cur_mb, ref_pad, hpel, base_y, base_x,
         [jnp.stack([p[1], p[2]], axis=-1) for p in parts], axis=1)
     out["cost8x8"] = sum(p[0] for p in parts)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Dense (gather-free) motion search
+#
+# TPU gathers run through the scalar core (~25 ms per million elements on
+# v5e), so the candidate loops above are HBM-gather-bound. The dense
+# formulation below never gathers during search: every candidate offset is
+# uniform across MBs, so a candidate's SAD map is |cur_plane - shifted ref|
+# tile-reduced to (mbh, mbw) — pure VPU work. Measured: 1089 full-pel
+# candidates over 1080p in ~120 ms (vs ~5.8 s for the gather funnel).
+# Sub-pel refinement gathers one small window per MB once, then evaluates
+# the full ±0.75-pel quarter-sample neighbourhood with static window
+# slices (statically-known fractional phases need no runtime phase select).
+# ---------------------------------------------------------------------------
+
+FULL_RANGE = 16      # dense full-pel search radius
+WIN = 18             # sub-pel window: 16 + 1 left/top + 1 right/bottom
+
+
+def dense_full_search(cur_plane, ref_pad, lam, mb_height: int, mb_width: int,
+                      row_offset, range_pel: int = FULL_RANGE):
+    """Dense full-pel search. cur_plane: (bh*16, W) int-castable band
+    plane; ref_pad: guard-padded full reference. Returns per-MB full-pel
+    (mv_y, mv_x) and SAD of the winner, each (nmb,)."""
+    H = mb_height * 16
+    W = mb_width * 16
+    cur = cur_plane.astype(jnp.int32)
+    side = 2 * range_pel + 1
+
+    def body(i, st):
+        best_cost, best_sad, best_dy, best_dx = st
+        dy = i // side - range_pel
+        dx = i % side - range_pel
+        sub = jax.lax.dynamic_slice(
+            ref_pad, (qpel.GUARD + row_offset * 16 + dy, qpel.GUARD + dx),
+            (H, W)).astype(jnp.int32)
+        sad = (jnp.abs(cur - sub)
+               .reshape(mb_height, 16, mb_width, 16).sum(axis=(1, 3)))
+        cost = sad + lam * (mv_bits(dy * 4) + mv_bits(dx * 4))
+        upd = cost < best_cost
+        return (jnp.where(upd, cost, best_cost),
+                jnp.where(upd, sad, best_sad),
+                jnp.where(upd, dy, best_dy),
+                jnp.where(upd, dx, best_dx))
+
+    shape = (mb_height, mb_width)
+    init = (jnp.full(shape, 1 << 30, jnp.int32),
+            jnp.full(shape, 1 << 30, jnp.int32),
+            jnp.zeros(shape, jnp.int32), jnp.zeros(shape, jnp.int32))
+    _, sad, dy, dx = jax.lax.fori_loop(0, side * side, body, init)
+    return dy.reshape(-1), dx.reshape(-1), sad.reshape(-1)
+
+
+def gather_subpel_windows(ref_pad, hpel, base_y, base_x, mv_y, mv_x):
+    """One (k, WIN, WIN) window per plane around (best - 1): the only
+    gathers of the dense ME path."""
+    b, h, j = hpel
+    wy = base_y + mv_y - 1
+    wx = base_x + mv_x - 1
+    return tuple(qpel.gather_blocks(p, wy, wx, WIN, WIN).astype(jnp.int32)
+                 for p in (ref_pad, b, h, j))
+
+
+def _pred_from_windows(wins, dyq: int, dxq: int):
+    """Quarter-pel prediction for a statically-known offset (dyq, dxq) in
+    [-3, 3] relative to the window centre full-pel position. The phase is
+    static, so no runtime phase selection is needed (cf. qpel.mc_luma)."""
+    wf, wb, wh, wj = wins
+    oy = 1 + (dyq >> 2)
+    ox = 1 + (dxq >> 2)
+    fy = dyq & 3
+    fx = dxq & 3
+
+    def S(w, ey=0, ex=0):
+        return w[:, oy + ey:oy + ey + 16, ox + ex:ox + ex + 16]
+
+    def avg(p, q):
+        return (p + q + 1) >> 1
+
+    table = {
+        (0, 0): lambda: S(wf),
+        (1, 0): lambda: avg(S(wf), S(wb)),
+        (2, 0): lambda: S(wb),
+        (3, 0): lambda: avg(S(wb), S(wf, 0, 1)),
+        (0, 1): lambda: avg(S(wf), S(wh)),
+        (1, 1): lambda: avg(S(wb), S(wh)),
+        (2, 1): lambda: avg(S(wb), S(wj)),
+        (3, 1): lambda: avg(S(wb), S(wh, 0, 1)),
+        (0, 2): lambda: S(wh),
+        (1, 2): lambda: avg(S(wh), S(wj)),
+        (2, 2): lambda: S(wj),
+        (3, 2): lambda: avg(S(wj), S(wh, 0, 1)),
+        (0, 3): lambda: avg(S(wh), S(wf, 1, 0)),
+        (1, 3): lambda: avg(S(wh), S(wb, 1, 0)),
+        (2, 3): lambda: avg(S(wj), S(wb, 1, 0)),
+        (3, 3): lambda: avg(S(wh, 0, 1), S(wb, 1, 0)),
+    }
+    return table[(fx, fy)]()
+
+
+def motion_search_dense(cur_plane, cur_tiles, ref_pad, hpel,
+                        base_y, base_x, qp,
+                        mb_height: int, mb_width: int, row_offset):
+    """Gather-free ME: dense full-pel search + windowed ±0.75-pel dense
+    quarter-sample refinement. Also returns the winning luma prediction
+    (so 16x16 MC needs no further interpolation).
+
+    Returns (mv_y_q, mv_x_q, cost, pred) with pred (nmb, 16, 16) uint8.
+    """
+    lam = lambda_me(qp)
+    fy_, fx_, _ = dense_full_search(cur_plane, ref_pad, lam,
+                                    mb_height, mb_width, row_offset)
+    wins = gather_subpel_windows(ref_pad, hpel, base_y, base_x, fy_, fx_)
+    cur_i = cur_tiles.astype(jnp.int32)
+    k = cur_i.shape[0]
+
+    best_cost = jnp.full((k,), 1 << 30, jnp.int32)
+    best_y = jnp.zeros((k,), jnp.int32)
+    best_x = jnp.zeros((k,), jnp.int32)
+    best_pred = jnp.zeros((k, 16, 16), jnp.int32)
+    for dyq in range(-3, 4):
+        for dxq in range(-3, 4):
+            pred = _pred_from_windows(wins, dyq, dxq)
+            sad = jnp.sum(jnp.abs(cur_i - pred), axis=(1, 2))
+            mvy = fy_ * 4 + dyq
+            mvx = fx_ * 4 + dxq
+            cost = sad + lam * (mv_bits(mvy) + mv_bits(mvx))
+            upd = cost < best_cost
+            best_cost = jnp.where(upd, cost, best_cost)
+            best_y = jnp.where(upd, mvy, best_y)
+            best_x = jnp.where(upd, mvx, best_x)
+            best_pred = jnp.where(upd[:, None, None], pred, best_pred)
+    return best_y, best_x, best_cost, best_pred.astype(jnp.uint8)
