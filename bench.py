@@ -47,10 +47,17 @@ def main():
     for (y, u, v) in frames[:WARMUP]:
         enc.encode(y, u, v, run)
 
+    # two-stage pipeline: the device computes frame N+1 while the host
+    # packs frame N
     t0 = time.time()
+    pending = None
     for (y, u, v) in frames[WARMUP:]:
-        res = enc.encode(y, u, v, run)
-        total_bytes += len(res.payload)
+        nxt = enc.encode_async(y, u, v, run)
+        if pending is not None:
+            total_bytes += len(enc.finish(pending).payload)
+        pending = nxt
+    if pending is not None:
+        total_bytes += len(enc.finish(pending).payload)
     dt = time.time() - t0
     n = len(frames) - WARMUP
     fps = n / dt

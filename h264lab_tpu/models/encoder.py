@@ -24,6 +24,21 @@ PIC_INIT_QP = 26
 
 
 @dataclasses.dataclass
+class PendingFrame:
+    """A dispatched-but-not-yet-packed frame (see encode_async)."""
+    encoder: object
+    run: object
+    out: dict
+    band_outs: list
+    band_hdrs: list
+    sps_pps: bytes
+    qp: int
+    is_intra: bool
+    ft_name: str
+    return_recon: bool
+
+
+@dataclasses.dataclass
 class FrameResult:
     payload: bytes                  # Annex-B bytes for this frame
     frame_type: str                 # "IDR" | "I" | "P"
@@ -109,11 +124,11 @@ class H264Encoder:
             row += rows
         return bands
 
-    def _band_arrays(self, rows: int):
+    def _band_arrays(self, rows: int, slope: int = 2):
         """Cached (steps, avail_top, avail_left) for a band height."""
-        key = rows
+        key = (rows, slope)
         if key not in self._band_cache:
-            plan = wavefront.make_plan(self.config.mb_width, rows, slope=2)
+            plan = wavefront.make_plan(self.config.mb_width, rows, slope)
             nmb = self.config.mb_width * rows
             r = np.arange(nmb) // self.config.mb_width
             c = np.arange(nmb) % self.config.mb_width
@@ -134,6 +149,16 @@ class H264Encoder:
     # ------------------------------------------------------------------
     def encode(self, y, u, v, run: RunConfig | None = None,
                return_recon: bool = False) -> FrameResult:
+        """Synchronous encode (dispatch + finish)."""
+        return self.finish(self.encode_async(y, u, v, run, return_recon))
+
+    def encode_async(self, y, u, v, run: RunConfig | None = None,
+                     return_recon: bool = False) -> "PendingFrame":
+        """Dispatch the device computation for one frame and return
+        immediately (JAX dispatch is asynchronous). Call `finish()` to
+        pack the bitstream — overlapping the host-side packing of frame N
+        with the device compute of frame N+1 (see bench.py). Note: in
+        bitrate mode the RC feedback then lags by one frame."""
         cfg = self.config
         run = run or RunConfig(qp_min=cfg.qp, qp_max=cfg.qp)
 
@@ -210,8 +235,12 @@ class H264Encoder:
 
         mbw = cfg.mb_width
         band_outs = []
+        band_hdrs = []
         for (row0, rows) in bands:
-            steps, a_top, a_left = self._band_arrays(rows)
+            # intra 4x4's top-right dependency needs slope-2 diagonals;
+            # without it slope-1 halves the wavefront depth
+            steps, a_top, a_left = self._band_arrays(
+                rows, 2 if (enable_i4x4 or is_intra_frame) else 1)
             sl = slice(row0 * mbw, (row0 + rows) * mbw)
             if is_intra_frame:
                 out = mbscan.encode_intra_frame(
@@ -255,20 +284,7 @@ class H264Encoder:
                                 if lt_update > 0 else False),
                 max_long_term_frames=n_lt)
             headers.write_slice_header_rbsp(bw, shp)
-            # device-packed CAVLC payload; host only stitches the words
-            # after the (non-byte-aligned) slice header
-            total_bits = int(out["total_bits"])
-            cap = bitpack.bucket_words(total_bits)
-            words, _ = bitpack.pack_bits_device(out["sym_vals"],
-                                                out["sym_lens"], cap)
-            bw.append_bits_bytes(bitpack.words_to_bytes(words, total_bits),
-                                 total_bits)
-            bw.rbsp_trailing_bits()
-            ref_idc, nal_type = headers.slice_nal_header_byte(shp)
-            nal = annexb_nal(ref_idc, nal_type, bw.to_bytes())
-            payload += nal
-            if run.nalu_callback:
-                run.nalu_callback(nal, self.frames_encoded)
+            band_hdrs.append((bw, shp))
 
         if len(band_outs) == 1:
             out = band_outs[0]
@@ -276,7 +292,6 @@ class H264Encoder:
             out = {k: jnp.concatenate([o[k] for o in band_outs])
                    for k in ("recon_y", "recon_u", "recon_v",
                              "df_y", "df_u", "df_v")}
-        self._last_frame_bytes = len(payload)
 
         # stream state
         if is_idr:
@@ -287,15 +302,8 @@ class H264Encoder:
         self.frame_num = (self.frame_num + 1) % (1 << headers.FRAME_NUM_BITS)
         self.frames_encoded += 1
 
-        # rate control accounting + VBV actions
-        actions = self.rc.frame_end(is_intra_frame, len(payload),
-                                    run.desired_frame_bytes)
-        if actions["stuffing_bytes"] and cfg.vbv_underflow_stuffing_flag:
-            payload += filler_nal(actions["stuffing_bytes"])
-        if actions["overflow"]:
-            self._force_transparent = True
-
         # update the reference slot with the deblocked reconstruction
+        # (device graphs only; nothing is synchronized here)
         if is_idr:
             self._refs = {}
             self._short_term_used = False
@@ -313,8 +321,47 @@ class H264Encoder:
                 self._lt_used[lt_update - 1] = True
         self._last_tiles = (out["df_y"], out["df_u"], out["df_v"])
 
+        ft_name = "IDR" if is_idr else ("I" if is_intra_frame else "P")
+        return PendingFrame(
+            encoder=self, run=run, out=out, band_outs=band_outs,
+            band_hdrs=band_hdrs, sps_pps=payload, qp=qp,
+            is_intra=is_intra_frame, ft_name=ft_name,
+            return_recon=return_recon)
+
+    def finish(self, pending: "PendingFrame") -> FrameResult:
+        """Pack the dispatched frame into Annex-B bytes (host side)."""
+        if isinstance(pending, FrameResult):
+            return pending      # transparent frames are produced directly
+        cfg = self.config
+        run = pending.run
+        payload = pending.sps_pps
+        for out_b, (bw, shp) in zip(pending.band_outs, pending.band_hdrs):
+            total_bits = int(out_b["total_bits"])
+            cap = bitpack.bucket_words(total_bits)
+            words, _ = bitpack.pack_bits_device(out_b["sym_vals"],
+                                                out_b["sym_lens"], cap)
+            bw.append_bits_bytes(bitpack.words_to_bytes(words, total_bits),
+                                 total_bits)
+            bw.rbsp_trailing_bits()
+            ref_idc, nal_type = headers.slice_nal_header_byte(shp)
+            nal = annexb_nal(ref_idc, nal_type, bw.to_bytes())
+            payload += nal
+            if run.nalu_callback:
+                run.nalu_callback(nal, self.frames_encoded - 1)
+        self._last_frame_bytes = len(payload)
+
+        # rate control accounting + VBV actions
+        actions = self.rc.frame_end(pending.is_intra, len(payload),
+                                    run.desired_frame_bytes)
+        if actions["stuffing_bytes"] and cfg.vbv_underflow_stuffing_flag:
+            payload += filler_nal(actions["stuffing_bytes"])
+        if actions["overflow"]:
+            self._force_transparent = True
+
+        out = pending.out
         recon = None
-        if return_recon:
+        recon_unf = None
+        if pending.return_recon:
             cfgw, cfgh = cfg.mb_width, cfg.mb_height
             ry = wavefront.tiles_to_plane(np.asarray(out["df_y"]), cfgh, cfgw)
             ru = wavefront.tiles_to_plane(np.asarray(out["df_u"]), cfgh, cfgw)
@@ -328,10 +375,9 @@ class H264Encoder:
             recon_unf = (uy[:cfg.height, :cfg.width],
                          uu[:cfg.height // 2, :cfg.width // 2],
                          uv[:cfg.height // 2, :cfg.width // 2])
-        ft_name = "IDR" if is_idr else ("I" if is_intra_frame else "P")
-        return FrameResult(payload=payload, frame_type=ft_name,
-                           qp=qp, recon=recon,
-                           recon_unfiltered=recon_unf if return_recon else None)
+        return FrameResult(payload=payload, frame_type=pending.ft_name,
+                           qp=pending.qp, recon=recon,
+                           recon_unfiltered=recon_unf)
 
     # ------------------------------------------------------------------
     def _encode_transparent(self, run: RunConfig,
