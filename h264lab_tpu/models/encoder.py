@@ -218,6 +218,8 @@ class H264Encoder:
         ty, tu, tv = self._pad_tiles(y, u, v)
         enable_i4x4 = is_intra_frame or run.encode_speed < 2
         enable_partitions = run.encode_speed < 1
+        # speed >= 9 stops ME at the full-pel winner (`src/h264-lab.h:5083`)
+        enable_qpel = run.encode_speed < 9
         # reference speed presets disable deblock at speeds 8 and 10
         # (`src/h264-lab.h:6717`)
         enable_deblock = run.encode_speed not in (8, 10)
@@ -262,6 +264,7 @@ class H264Encoder:
                     mbw, rows, has_inter=True,
                     enable_i4x4=enable_i4x4, enable_deblock=enable_deblock,
                     enable_partitions=enable_partitions,
+                    enable_qpel=enable_qpel,
                     mb_row_offset=jnp.int32(row0))
             band_outs.append(out)
 
@@ -378,6 +381,50 @@ class H264Encoder:
         return FrameResult(payload=payload, frame_type=pending.ft_name,
                            qp=pending.qp, recon=recon,
                            recon_unfiltered=recon_unf)
+
+    # ------------------------------------------------------------------
+    # checkpoint / resume — the reference's entire state is two flat
+    # relocatable arenas (SURVEY.md §5.4); here it is a host-serializable
+    # dict: stream counters + RC state + reference pictures.
+    def get_state(self) -> dict:
+        """Snapshot of all mutable encoder state. Host numpy arrays only,
+        so the result pickles and survives process restarts."""
+        refs = {k: {n: np.asarray(a) for n, a in st.items()}
+                for k, st in self._refs.items()}
+        return {
+            "frame_num": self.frame_num,
+            "idr_pic_id": self.idr_pic_id,
+            "frames_encoded": self.frames_encoded,
+            "gop_pos": self._gop_pos,
+            "most_recent_idx": self._most_recent_idx,
+            "short_term_used": self._short_term_used,
+            "lt_used": list(self._lt_used),
+            "force_transparent": self._force_transparent,
+            "last_frame_bytes": self._last_frame_bytes,
+            "refs": refs,
+            "denoise_prev": (None if self._denoise_prev is None else
+                             tuple(np.asarray(p) for p in self._denoise_prev)),
+            "rc": self.rc.get_state(),
+        }
+
+    def set_state(self, st: dict):
+        """Restore a snapshot taken by get_state() on a same-config
+        encoder; the stream continues bit-compatibly from that point."""
+        self.frame_num = st["frame_num"]
+        self.idr_pic_id = st["idr_pic_id"]
+        self.frames_encoded = st["frames_encoded"]
+        self._gop_pos = st["gop_pos"]
+        self._most_recent_idx = st["most_recent_idx"]
+        self._short_term_used = st["short_term_used"]
+        self._lt_used = list(st["lt_used"])
+        self._force_transparent = st["force_transparent"]
+        self._last_frame_bytes = st["last_frame_bytes"]
+        self._refs = {k: {n: jnp.asarray(a) for n, a in s.items()}
+                      for k, s in st["refs"].items()}
+        self._ref = (self._refs.get(self._most_recent_idx)
+                     if self._refs else None)
+        self._denoise_prev = st["denoise_prev"]
+        self.rc.set_state(st["rc"])
 
     # ------------------------------------------------------------------
     def _encode_transparent(self, run: RunConfig,

@@ -118,6 +118,7 @@ def encode_frame_core(src_y_mb, src_u_mb, src_v_mb,
                       has_inter: bool, enable_i4x4: bool,
                       enable_deblock: bool = False,
                       enable_partitions: bool = False,
+                      enable_qpel: bool = True,
                       mb_row_offset=0):
     """Encode one frame or slice band. For I frames pass dummy ref planes
     and has_inter=False (they are ignored). `mb_row_offset` places a band
@@ -140,7 +141,7 @@ def encode_frame_core(src_y_mb, src_u_mb, src_v_mb,
                      .reshape(mb_height * 16, mb_width * 16))
         mv_y, mv_x, cost16, pred16 = me.motion_search_dense(
             cur_plane, src_y_mb, ref_y_pad, hpel, base_y, base_x, qp,
-            mb_height, mb_width, mb_row_offset)
+            mb_height, mb_width, mb_row_offset, enable_subpel=enable_qpel)
 
         # partition shapes: per-4x4-block MV grid; shape 0=16x16,
         # 1=16x8, 2=8x16, 3=8x8 (reference partition proposal+search,
@@ -888,7 +889,7 @@ def symbolize(sel, mode16, cmode, i4modes, i4sym_v, i4sym_l,
 encode_frame = jax.jit(
     encode_frame_core,
     static_argnames=("mb_width", "mb_height", "has_inter", "enable_i4x4",
-                     "enable_deblock", "enable_partitions"))
+                     "enable_deblock", "enable_partitions", "enable_qpel"))
 
 
 def encode_intra_core(src_y_mb, src_u_mb, src_v_mb, qp, qpc,

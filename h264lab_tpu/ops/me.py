@@ -365,10 +365,14 @@ def _pred_from_windows(wins, dyq: int, dxq: int):
 
 def motion_search_dense(cur_plane, cur_tiles, ref_pad, hpel,
                         base_y, base_x, qp,
-                        mb_height: int, mb_width: int, row_offset):
+                        mb_height: int, mb_width: int, row_offset,
+                        enable_subpel: bool = True):
     """Gather-free ME: dense full-pel search + windowed ±0.75-pel dense
     quarter-sample refinement. Also returns the winning luma prediction
     (so 16x16 MC needs no further interpolation).
+
+    `enable_subpel=False` stops at the full-pel winner (reference speed
+    presets >= 9 skip the hpel/qpel refinement, `src/h264-lab.h:5083`).
 
     Returns (mv_y_q, mv_x_q, cost, pred) with pred (nmb, 16, 16) uint8.
     """
@@ -383,8 +387,9 @@ def motion_search_dense(cur_plane, cur_tiles, ref_pad, hpel,
     best_y = jnp.zeros((k,), jnp.int32)
     best_x = jnp.zeros((k,), jnp.int32)
     best_pred = jnp.zeros((k, 16, 16), jnp.int32)
-    for dyq in range(-3, 4):
-        for dxq in range(-3, 4):
+    sweep = range(-3, 4) if enable_subpel else range(0, 1)
+    for dyq in sweep:
+        for dxq in sweep:
             pred = _pred_from_windows(wins, dyq, dxq)
             sad = jnp.sum(jnp.abs(cur_i - pred), axis=(1, 2))
             mvy = fy_ * 4 + dyq

@@ -118,6 +118,19 @@ class RateControl:
         (`src/h264-lab.h:6898-6912`)."""
         self.vbv.fullness = fullness_bits
 
+    # ------------------------------------------------------------------
+    def get_state(self) -> dict:
+        """Snapshot of all mutable RC state (checkpoint/resume)."""
+        return {"qp": self.qp, "prev_qp": self.prev_qp,
+                "vbv_fullness": self.vbv.fullness,
+                "gain_i": self._gain[True], "gain_p": self._gain[False]}
+
+    def set_state(self, st: dict):
+        self.qp = st["qp"]
+        self.prev_qp = st["prev_qp"]
+        self.vbv.fullness = st["vbv_fullness"]
+        self._gain = {True: st["gain_i"], False: st["gain_p"]}
+
 
 def filler_nal(n_payload_bytes: int) -> bytes:
     """Filler data NAL (type 12): 0xFF payload bytes + stop bit pattern
