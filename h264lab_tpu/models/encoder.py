@@ -258,7 +258,7 @@ class H264Encoder:
                     jnp.asarray(ty[sl]), jnp.asarray(tu[sl]),
                     jnp.asarray(tv[sl]),
                     ref["y_pad"], ref["u_pad"], ref["v_pad"],
-                    ref["b"], ref["h"], ref["j"], ref["y4_pad"],
+                    ref["y4_pad"],
                     jnp.int32(qp), jnp.int32(qpc),
                     steps, a_top, a_left,
                     mbw, rows, has_inter=True,

@@ -2,15 +2,25 @@
 with all three MB candidates — inter 16x16 (P only), Intra_16x16 and
 Intra_4x4 — plus the unified CAVLC symbolization.
 
-This supersedes the separate intra/inter pipelines; it is the TPU-native
-re-design of the reference's `mb_encode` decision cascade
-(`src/h264-lab.h:5724-5812`). Structure:
+This is the TPU-native re-design of the reference's `mb_encode` decision
+cascade (`src/h264-lab.h:5724-5812`). Structure:
 
-1. (P) pre-scan: ME funnel + MC + inter TQ, fully parallel (ops/me.py).
+1. (P) pre-scan: hierarchical dense ME + MC + inter TQ, fully parallel
+   (ops/me.py).
 2. Wavefront `lax.scan` (slope-2 diagonals when i4x4 is on, to satisfy
    its top-right dependency): per MB evaluate the enabled candidates from
-   carried recon edges, pick by SAD+lambda·bits cost, TQ, scatter edges.
-3. Post-scan, fully parallel: MV predictors/P_Skip, CBPs, nnz contexts,
+   carried recon edges, pick by SAD+lambda·bits cost, TQ, and emit
+   per-diagonal outputs. The scan is built for minimum per-step kernel
+   count: all precomputed per-MB inputs are fed in diagonal order as scan
+   `xs` (zero in-step gathers for them), all per-MB outputs leave through
+   scan `ys` (zero in-step scatters for them), and the only carried state
+   is one packed (nmb, 72)-byte edge record per MB — exactly the data the
+   C encoder keeps in its row buffers (`top_line` `src/h264-lab.h:745`).
+3. In-loop deblocking as a second, light wavefront with all boundary
+   strengths precomputed in parallel (reference `df_strength`/`mb_deblock`
+   `src/h264-lab.h:5535-5716`). Legal because intra prediction reads
+   *unfiltered* recon; only the reference picture needs the filter.
+4. Post-scan, fully parallel: MV predictors/P_Skip, CBPs, nnz contexts,
    CAVLC symbol expansion, device-side syntax-order assembly.
 
 MB selection encoding: sel 0 = inter, 1 = Intra_16x16, 2 = Intra_4x4.
@@ -18,26 +28,33 @@ MB selection encoding: sel 0 = inter, 1 = Intra_16x16, 2 = Intra_4x4.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 
-from h264lab_tpu.ops import (bitpack, cavlc, deblock, intra, intra4, me,
+from h264lab_tpu.ops import (cavlc, deblock, intra, intra4, me,
                              qpel, tables, transform)
+from h264lab_tpu.ops.tuning import (INTRA_DEADZONE_Q8, INTER_DEADZONE_Q8,
+                                    INTRA_IN_P_PENALTY_BITS, I4_PENALTY_BITS,
+                                    PART_16X8_PENALTY_BITS,
+                                    PART_8X8_PENALTY_BITS)
 
 SEL_INTER, SEL_I16, SEL_I4 = 0, 1, 2
-
-INTRA_DEADZONE_Q8 = 85
-INTER_DEADZONE_Q8 = 43
-INTRA_IN_P_PENALTY_BITS = 24
-I4_PENALTY_BITS = 16     # base syntax overhead charged to the i4x4 candidate
 
 _ZZ = jnp.asarray(tables.ZIGZAG_4x4)
 _BLOCK_SCAN = jnp.asarray(tables.BLOCK_SCAN_4x4)
 _CBP_INTRA_CODE = jnp.asarray(tables.CBP_TO_CODENUM[:, 0])
 _CBP_INTER_CODE = jnp.asarray(tables.CBP_TO_CODENUM[:, 1])
+
+# packed per-MB edge-record layout (uint8): recon edges + i4 edge modes
+_E_BOT_Y = slice(0, 16)
+_E_RIGHT_Y = slice(16, 32)
+_E_BOT_U = slice(32, 40)
+_E_RIGHT_U = slice(40, 48)
+_E_BOT_V = slice(48, 56)
+_E_RIGHT_V = slice(56, 64)
+_E_EM_B = slice(64, 68)
+_E_EM_R = slice(68, 72)
+_E_BYTES = 72
 
 
 def mb_to_blocks(mb: jnp.ndarray, nblk: int) -> jnp.ndarray:
@@ -80,6 +97,8 @@ def _encode_luma_i16(src, pred, qp):
 
 
 def _encode_chroma(src, pred, qpc, deadzone):
+    """Chroma TQ for one plane batch (k, 8, 8); u and v are usually
+    stacked along the batch axis for one fused call."""
     sb = mb_to_blocks(src.astype(jnp.int32), 2)
     pb = mb_to_blocks(pred.astype(jnp.int32), 2)
     coef = transform.fdct4x4(sb - pb)
@@ -111,8 +130,7 @@ def _encode_inter_luma(src, pred, qp):
 # ---------------------------------------------------------------------------
 
 def encode_frame_core(src_y_mb, src_u_mb, src_v_mb,
-                      ref_y_pad, ref_u_pad, ref_v_pad,
-                      hpel_b, hpel_h, hpel_j, ref4_pad,
+                      ref_y_pad, ref_u_pad, ref_v_pad, ref4_pad,
                       qp, qpc, steps, avail_top, avail_left,
                       mb_width: int, mb_height: int,
                       has_inter: bool, enable_i4x4: bool,
@@ -134,13 +152,12 @@ def encode_frame_core(src_y_mb, src_u_mb, src_v_mb,
     if has_inter:
         base_y = qpel.GUARD + 16 * (rr + mb_row_offset)
         base_x = qpel.GUARD + 16 * cc
-        hpel = (hpel_b, hpel_h, hpel_j)
-        # band luma plane for the dense (gather-free) full-pel search
+        # band luma plane for the gather-free hierarchical search
         cur_plane = (src_y_mb.reshape(mb_height, mb_width, 16, 16)
                      .transpose(0, 2, 1, 3)
                      .reshape(mb_height * 16, mb_width * 16))
-        mv_y, mv_x, cost16, pred16 = me.motion_search_dense(
-            cur_plane, src_y_mb, ref_y_pad, hpel, base_y, base_x, qp,
+        mv_y, mv_x, cost16, pred16, aux = me.motion_search_dense(
+            cur_plane, src_y_mb, ref_y_pad, ref4_pad, base_y, base_x, qp,
             mb_height, mb_width, mb_row_offset, enable_subpel=enable_qpel)
 
         # partition shapes: per-4x4-block MV grid; shape 0=16x16,
@@ -150,13 +167,12 @@ def encode_frame_core(src_y_mb, src_u_mb, src_v_mb,
         mv4_x = jnp.broadcast_to(mv_x[:, None, None], (nmb, 4, 4))
         shape = jnp.zeros((nmb,), jnp.int32)
         inter_cost = cost16
-        if enable_partitions:
-            ps = me.partition_search(
-                src_y_mb, ref_y_pad, hpel, base_y, base_x,
-                mv_y >> 2, mv_x >> 2, qp)
-            c168 = ps["cost16x8"] + lam * 12
-            c816 = ps["cost8x16"] + lam * 12
-            c88 = ps["cost8x8"] + lam * 30
+        pred_y_inter = pred16
+        if enable_partitions and enable_qpel:
+            ps = me.partition_search(src_y_mb, aux, qp)
+            c168 = ps["cost16x8"] + lam * PART_16X8_PENALTY_BITS
+            c816 = ps["cost8x16"] + lam * PART_16X8_PENALTY_BITS
+            c88 = ps["cost8x8"] + lam * PART_8X8_PENALTY_BITS
             costs = jnp.stack([cost16, c168, c816, c88], axis=1)
             shape = jnp.argmin(costs, axis=1).astype(jnp.int32)
             inter_cost = jnp.min(costs, axis=1)
@@ -181,25 +197,36 @@ def encode_frame_core(src_y_mb, src_u_mb, src_v_mb,
             mv4_x = jnp.where(sh == 1, mv168_x,
                               jnp.where(sh == 2, mv816_x,
                                         jnp.where(sh == 3, mv88_x, mv4_x)))
+            pred_y_inter = jnp.where(
+                sh == 1, ps["pred16x8"],
+                jnp.where(sh == 2, ps["pred8x16"],
+                          jnp.where(sh == 3, ps["pred8x8"], pred16)))
+            pred_y_inter = pred_y_inter.astype(jnp.uint8)
 
-        if enable_partitions:
-            pred_y_inter = qpel.mc_luma_grid(
-                ref_y_pad, hpel_b, hpel_h, hpel_j, mv4_y, mv4_x,
-                base_y, base_x)
-        else:
-            pred_y_inter = pred16    # dense ME already produced the MC
         cb_y = qpel.GUARD // 2 + 8 * (rr + mb_row_offset)
         cb_x = qpel.GUARD // 2 + 8 * cc
-        pred_u_inter = qpel.mc_chroma_grid(ref_u_pad, mv4_y, mv4_x,
-                                           cb_y, cb_x)
-        pred_v_inter = qpel.mc_chroma_grid(ref_v_pad, mv4_y, mv4_x,
-                                           cb_y, cb_x)
+        if enable_partitions and enable_qpel:
+            # per-4x4-block MVs: the general (gather-based) chroma MC
+            pred_u_inter = qpel.mc_chroma_grid(ref_u_pad, mv4_y, mv4_x,
+                                               cb_y, cb_x)
+            pred_v_inter = qpel.mc_chroma_grid(ref_v_pad, mv4_y, mv4_x,
+                                               cb_y, cb_x)
+        else:
+            # uniform per-MB MV: windowed gather-free chroma MC
+            pred_u_inter, pred_v_inter = qpel.mc_chroma_uniform(
+                ref_u_pad, ref_v_pad, cb_y, cb_x,
+                aux["cy4"], aux["cx4"], mv_y, mv_x)
         lev_inter, recon_y_inter = _encode_inter_luma(
             src_y_mb, pred_y_inter, qp)
-        cdc_u_i, cac_u_i, recon_u_inter = _encode_chroma(
-            src_u_mb, pred_u_inter, qpc, INTER_DEADZONE_Q8)
-        cdc_v_i, cac_v_i, recon_v_inter = _encode_chroma(
-            src_v_mb, pred_v_inter, qpc, INTER_DEADZONE_Q8)
+        # u and v batched through one chroma TQ
+        cdc_uv, cac_uv, recon_uv = _encode_chroma(
+            jnp.concatenate([src_u_mb, src_v_mb]),
+            jnp.concatenate([pred_u_inter, pred_v_inter]),
+            qpc, INTER_DEADZONE_Q8)
+        cdc_inter = jnp.stack([cdc_uv[:nmb], cdc_uv[nmb:]], axis=1)
+        cac_inter = jnp.stack([cac_uv[:nmb], cac_uv[nmb:]], axis=1)
+        recon_u_inter = recon_uv[:nmb]
+        recon_v_inter = recon_uv[nmb:]
     else:
         mv_y = jnp.zeros((nmb,), jnp.int32)
         mv_x = jnp.zeros((nmb,), jnp.int32)
@@ -208,140 +235,56 @@ def encode_frame_core(src_y_mb, src_u_mb, src_v_mb,
         shape = jnp.zeros((nmb,), jnp.int32)
         inter_cost = jnp.full((nmb,), 1 << 30, jnp.int32)
         lev_inter = jnp.zeros((nmb, 4, 4, 4, 4), jnp.int32)
-
-    # inter nnz per 4x4 block, needed for deblock boundary strengths
-    nnz_inter_blk = jnp.sum(lev_inter != 0, axis=(-2, -1)).astype(jnp.int32)
-    nnz_inter_pad = jnp.concatenate(
-        [nnz_inter_blk, jnp.zeros((1, 4, 4), jnp.int32)])
-    mv4_y_pad = jnp.concatenate([mv4_y, jnp.zeros((1, 4, 4), jnp.int32)])
-    mv4_x_pad = jnp.concatenate([mv4_x, jnp.zeros((1, 4, 4), jnp.int32)])
-
-    def _deblock_diag(didx, sel_arr, df_y, df_u, df_v):
-        """Deblock the MBs of one (lagged) diagonal: V edges then H."""
-        dmask = didx >= 0
-        ci = jnp.maximum(didx, 0)
-        r_i = ci // mb_width
-        c_i = ci % mb_width
-        li = jnp.maximum(ci - 1, 0)
-        ti = jnp.maximum(ci - mb_width, 0)
-        has_left = dmask & (c_i > 0) & avail_left[ci]
-        has_top = dmask & (r_i > 0) & avail_top[ci]
-        wi = jnp.where(dmask, ci, nmb)
-        wl = jnp.where(has_left, li, nmb)
-        wt = jnp.where(has_top, ti, nmb)
-
-        intra_cur = sel_arr[ci] != SEL_INTER
-        intra_left = sel_arr[li] != SEL_INTER
-        intra_top = sel_arr[ti] != SEL_INTER
-        nz_cur = nnz_inter_pad[ci]
-        nz_left = nnz_inter_pad[li]
-        nz_top = nnz_inter_pad[ti]
-        my_cur, mx_cur = mv4_y_pad[ci], mv4_x_pad[ci]
-        my_left, mx_left = mv4_y_pad[li], mv4_x_pad[li]
-        my_top, mx_top = mv4_y_pad[ti], mv4_x_pad[ti]
-
-        def bs_sets(intra_nb, nz_nb, my_nb, mx_nb, has_nb, vertical):
-            """(k, 4 edges, 4 groups) boundary strengths."""
-            out = []
-
-            def sel(a, edge):
-                # block column (vertical) / row (horizontal) `edge` of a
-                # per-block (k, 4, 4) array
-                return a[:, :, edge] if vertical else a[:, edge, :]
-
-            # edge 0: MB boundary
-            bs0 = deblock.mb_edge_bs(
-                intra_nb[:, None], intra_cur[:, None],
-                sel(nz_nb, 3), sel(nz_cur, 0),
-                sel(my_nb, 3), sel(mx_nb, 3),
-                sel(my_cur, 0), sel(mx_cur, 0), True)
-            out.append(jnp.where(has_nb[:, None], bs0, 0))
-            # internal edges 1..3 (partition boundaries can carry bS 1)
-            for e in range(1, 4):
-                bse = deblock.mb_edge_bs(
-                    intra_cur[:, None], intra_cur[:, None],
-                    sel(nz_cur, e - 1), sel(nz_cur, e),
-                    sel(my_cur, e - 1), sel(mx_cur, e - 1),
-                    sel(my_cur, e), sel(mx_cur, e), False)
-                out.append(jnp.where(dmask[:, None], bse, 0))
-            return jnp.stack(out, axis=1)
-
-        bs_v = bs_sets(intra_left, nz_left, my_left, mx_left, has_left, True)
-        bs_h = bs_sets(intra_top, nz_top, my_top, mx_top, has_top, False)
-
-        # ---- luma vertical ----
-        strip = jnp.concatenate(
-            [df_y[li].astype(jnp.int32), df_y[ci].astype(jnp.int32)], axis=2)
-        strip = deblock.filter_luma_v(strip, bs_v, qp)
-        df_y = df_y.at[wi].set(strip[:, :, 16:].astype(jnp.uint8),
-                               mode="drop")
-        df_y = df_y.at[wl, :, 12:16].set(
-            strip[:, :, 12:16].astype(jnp.uint8), mode="drop")
-        # ---- luma horizontal ----
-        strip = jnp.concatenate(
-            [df_y[ti].astype(jnp.int32), df_y[ci].astype(jnp.int32)], axis=1)
-        strip = deblock.filter_luma_h(strip, bs_h, qp)
-        df_y = df_y.at[wi].set(strip[:, 16:, :].astype(jnp.uint8),
-                               mode="drop")
-        df_y = df_y.at[wt, 12:16, :].set(
-            strip[:, 12:16, :].astype(jnp.uint8), mode="drop")
-
-        # ---- chroma ----
-        for df_c_name in range(2):
-            df_c = df_u if df_c_name == 0 else df_v
-            strip = jnp.concatenate(
-                [df_c[li].astype(jnp.int32), df_c[ci].astype(jnp.int32)],
-                axis=2)
-            strip = deblock.filter_chroma_v(strip, bs_v, qpc)
-            df_c = df_c.at[wi].set(strip[:, :, 8:].astype(jnp.uint8),
-                                   mode="drop")
-            df_c = df_c.at[wl, :, 6:8].set(
-                strip[:, :, 6:8].astype(jnp.uint8), mode="drop")
-            strip = jnp.concatenate(
-                [df_c[ti].astype(jnp.int32), df_c[ci].astype(jnp.int32)],
-                axis=1)
-            strip = deblock.filter_chroma_h(strip, bs_h, qpc)
-            df_c = df_c.at[wi].set(strip[:, 8:, :].astype(jnp.uint8),
-                                   mode="drop")
-            df_c = df_c.at[wt, 6:8, :].set(
-                strip[:, 6:8, :].astype(jnp.uint8), mode="drop")
-            if df_c_name == 0:
-                df_u = df_c
-            else:
-                df_v = df_c
-        return df_y, df_u, df_v
+        recon_y_inter = jnp.zeros((nmb, 16, 16), jnp.uint8)
+        recon_u_inter = jnp.zeros((nmb, 8, 8), jnp.uint8)
+        recon_v_inter = jnp.zeros((nmb, 8, 8), jnp.uint8)
+        cdc_inter = jnp.zeros((nmb, 2, 2, 2), jnp.int32)
+        cac_inter = jnp.zeros((nmb, 2, 2, 2, 4, 4), jnp.int32)
 
     # ---------------- stage 2: wavefront scan ----------------------------
-    def step(carry, xs):
-        idx, didx = xs
-        (bot_y, right_y, bot_u, right_u, bot_v, right_v,
-         edge_modes_b, edge_modes_r,
-         sel_o, mode16_o, cmode_o, i4modes_o, i4sym_v_o, i4sym_l_o,
-         dc_lev_o, ac_lev_o, cdc_lev_o, cac_lev_o,
-         recon_y_o, recon_u_o, recon_v_o,
-         df_y, df_u, df_v) = carry
+    n_steps, kmax = steps.shape
+    steps_w = jnp.where(steps < 0, nmb, steps)       # dead lanes -> pad row
 
+    def diag_order(x, fill=0):
+        """Re-lay a (nmb, ...) per-MB array as (n_steps, kmax, ...) scan
+        input in diagonal order (one parallel row-gather)."""
+        pad = jnp.full((1,) + x.shape[1:], fill, x.dtype)
+        return jnp.concatenate([x, pad])[steps_w]
+
+    xs = dict(
+        idx=steps,
+        a_top=diag_order(avail_top, False),
+        a_left=diag_order(avail_left, False),
+        src_y=diag_order(src_y_mb),
+        src_u=diag_order(src_u_mb),
+        src_v=diag_order(src_v_mb),
+    )
+    if has_inter:
+        xs.update(
+            inter_cost=diag_order(inter_cost, 1 << 30),
+            rec_y_i=diag_order(recon_y_inter),
+            rec_u_i=diag_order(recon_u_inter),
+            rec_v_i=diag_order(recon_v_inter),
+        )
+    intra_pen = lam * INTRA_IN_P_PENALTY_BITS if has_inter else 0
+
+    def step(E, xt):
+        idx = xt["idx"]
         mask = idx >= 0
         cidx = jnp.maximum(idx, 0)
         widx = jnp.where(mask, cidx, nmb)
-        a_top = avail_top[cidx]
-        a_left = avail_left[cidx]
-        a_tl = a_top & a_left
-        r_i = cidx // mb_width
+        a_top = xt["a_top"]
+        a_left = xt["a_left"]
         c_i = cidx % mb_width
         tidx = jnp.maximum(cidx - mb_width, 0)
         lidx = jnp.maximum(cidx - 1, 0)
-        tlidx = jnp.maximum(cidx - mb_width - 1, 0)
-        tridx = jnp.maximum(cidx - mb_width + 1, 0)
-        a_tr = a_top & (c_i < mb_width - 1)
-
-        src_y = src_y_mb[cidx]
-        src_u = src_u_mb[cidx]
-        src_v = src_v_mb[cidx]
         k = cidx.shape[0]
 
-        top_row = bot_y[tidx]
-        left_col = right_y[lidx]
+        src_y = xt["src_y"]
+        Et = E[tidx]
+        El = E[lidx]
+        top_row = Et[:, _E_BOT_Y]
+        left_col = El[:, _E_RIGHT_Y]
 
         # ---- intra 16x16 candidate ----
         preds, valid = intra.predict_16x16(top_row, left_col, a_top, a_left)
@@ -350,40 +293,45 @@ def encode_frame_core(src_y_mb, src_u_mb, src_v_mb,
 
         # ---- intra 4x4 candidate ----
         if enable_i4x4:
+            a_tl = a_top & a_left
+            tlidx = jnp.maximum(cidx - mb_width - 1, 0)
+            tridx = jnp.maximum(cidx - mb_width + 1, 0)
+            a_tr = a_top & (c_i < mb_width - 1)
             i4 = intra4.encode_i4x4_mb(
                 src_y, top_row, left_col,
-                bot_y[tlidx][:, 15], bot_y[tridx][:, :4],
+                E[tlidx][:, 15], E[tridx][:, 0:4],
                 a_top, a_left, a_tl, a_tr,
-                edge_modes_r[lidx], edge_modes_b[tidx],
+                El[:, _E_EM_R].astype(jnp.int32),
+                Et[:, _E_EM_B].astype(jnp.int32),
                 qp, INTRA_DEADZONE_Q8, lam)
             cost4 = i4["cost"] + lam * I4_PENALTY_BITS
         else:
             i4 = None
             cost4 = jnp.full((k,), 1 << 30, jnp.int32)
 
-        # ---- chroma (intra) ----
-        preds_u, valid_c = intra.predict_chroma(
-            bot_u[tidx], right_u[lidx], a_top, a_left)
-        preds_v, _ = intra.predict_chroma(
-            bot_v[tidx], right_v[lidx], a_top, a_left)
-        ccost = (intra.sad(src_u[:, None], preds_u)
-                 + intra.sad(src_v[:, None], preds_v))
-        ccost = jnp.where(valid_c, ccost, jnp.int32(1 << 30))
+        # ---- chroma (intra), u and v batched ----
+        top_c = jnp.concatenate([Et[:, _E_BOT_U], Et[:, _E_BOT_V]])
+        left_c = jnp.concatenate([El[:, _E_RIGHT_U], El[:, _E_RIGHT_V]])
+        a_top2 = jnp.concatenate([a_top, a_top])
+        a_left2 = jnp.concatenate([a_left, a_left])
+        preds_c, valid_c = intra.predict_chroma(top_c, left_c,
+                                                a_top2, a_left2)
+        src_c = jnp.concatenate([xt["src_u"], xt["src_v"]])
+        ccost2 = intra.sad(src_c[:, None], preds_c)          # (2k, 3)
+        ccost = ccost2[:k] + ccost2[k:]
+        ccost = jnp.where(valid_c[:k], ccost, jnp.int32(1 << 30))
         cm = jnp.argmin(ccost, axis=1).astype(jnp.int32)
-        pred_u_i = jnp.take_along_axis(preds_u, cm[:, None, None, None],
-                                       axis=1)[:, 0]
-        pred_v_i = jnp.take_along_axis(preds_v, cm[:, None, None, None],
-                                       axis=1)[:, 0]
-        cdc_u, cac_u, rec_u_i = _encode_chroma(src_u, pred_u_i, qpc,
-                                               INTRA_DEADZONE_Q8)
-        cdc_v, cac_v, rec_v_i = _encode_chroma(src_v, pred_v_i, qpc,
-                                               INTRA_DEADZONE_Q8)
+        cm2 = jnp.concatenate([cm, cm])
+        pred_c = jnp.take_along_axis(preds_c, cm2[:, None, None, None],
+                                     axis=1)[:, 0]
+        cdc_c, cac_c, rec_c = _encode_chroma(src_c, pred_c, qpc,
+                                             INTRA_DEADZONE_Q8)
 
         # ---- selection ----
-        icost16 = cost16 + (lam * INTRA_IN_P_PENALTY_BITS if has_inter else 0)
-        icost4 = cost4 + (lam * INTRA_IN_P_PENALTY_BITS if has_inter else 0)
+        icost16 = cost16 + intra_pen
+        icost4 = cost4 + (intra_pen if enable_i4x4 else 0)
         if has_inter:
-            costs = jnp.stack([inter_cost[cidx], icost16, icost4], axis=1)
+            costs = jnp.stack([xt["inter_cost"], icost16, icost4], axis=1)
         else:
             costs = jnp.stack([jnp.full((k,), 1 << 30, jnp.int32),
                                icost16, icost4], axis=1)
@@ -393,125 +341,257 @@ def encode_frame_core(src_y_mb, src_u_mb, src_v_mb,
         is_intra = sel != SEL_INTER
         rec_y_intra = jnp.where(is_i4[:, None, None], i4["recon"], rec_y16) \
             if enable_i4x4 else rec_y16
+        rec_u_i = rec_c[:k]
+        rec_v_i = rec_c[k:]
         if has_inter:
             rec_y = jnp.where(is_intra[:, None, None], rec_y_intra,
-                              recon_y_inter[cidx])
+                              xt["rec_y_i"])
             rec_u = jnp.where(is_intra[:, None, None], rec_u_i,
-                              recon_u_inter[cidx])
+                              xt["rec_u_i"])
             rec_v = jnp.where(is_intra[:, None, None], rec_v_i,
-                              recon_v_inter[cidx])
-            cdc_sel = jnp.where(is_intra[:, None, None, None],
-                                jnp.stack([cdc_u, cdc_v], 1),
-                                jnp.stack([cdc_u_i[cidx], cdc_v_i[cidx]], 1))
-            cac_sel = jnp.where(is_intra[:, None, None, None, None, None],
-                                jnp.stack([cac_u, cac_v], 1),
-                                jnp.stack([cac_u_i[cidx], cac_v_i[cidx]], 1))
+                              xt["rec_v_i"])
         else:
             rec_y, rec_u, rec_v = rec_y_intra, rec_u_i, rec_v_i
-            cdc_sel = jnp.stack([cdc_u, cdc_v], 1)
-            cac_sel = jnp.stack([cac_u, cac_v], 1)
 
         # i4x4 edge-mode context for later MBs (2 = DC when not i4x4)
         if enable_i4x4:
             em_b = jnp.where(is_i4[:, None], i4["modes"][:, 12:16], 2)
             em_r = jnp.where(is_i4[:, None], i4["modes"][:, 3::4], 2)
-            i4_modes = i4["modes"]
-            i4_sv = i4["mode_sym_val"]
-            i4_sl = i4["mode_sym_len"]
-            i4_lev = i4["levels"]
+            ac_store = jnp.where(is_i4[:, None, None, None, None],
+                                 i4["levels"], ac_lev16)
         else:
             em_b = jnp.full((k, 4), 2, jnp.int32)
             em_r = jnp.full((k, 4), 2, jnp.int32)
-            i4_modes = jnp.full((k, 16), 2, jnp.int32)
-            i4_sv = jnp.zeros((k, 16), jnp.uint32)
-            i4_sl = jnp.zeros((k, 16), jnp.int32)
-            i4_lev = jnp.zeros((k, 4, 4, 4, 4), jnp.int32)
+            ac_store = ac_lev16
 
-        # ac levels: for i4 MBs store the i4 full-coeff levels
-        ac_store = jnp.where(is_i4[:, None, None, None, None], i4_lev,
-                             ac_lev16) if enable_i4x4 else ac_lev16
+        # ---- new edge record, single carry scatter ----
+        rec_new = jnp.concatenate([
+            rec_y[:, -1, :], rec_y[:, :, -1],
+            rec_u[:, -1, :], rec_u[:, :, -1],
+            rec_v[:, -1, :], rec_v[:, :, -1],
+            em_b.astype(jnp.uint8), em_r.astype(jnp.uint8)], axis=1)
+        E = E.at[widx].set(rec_new, mode="drop")
 
-        carry = (
-            bot_y.at[widx].set(rec_y[:, -1, :], mode="drop"),
-            right_y.at[widx].set(rec_y[:, :, -1], mode="drop"),
-            bot_u.at[widx].set(rec_u[:, -1, :], mode="drop"),
-            right_u.at[widx].set(rec_u[:, :, -1], mode="drop"),
-            bot_v.at[widx].set(rec_v[:, -1, :], mode="drop"),
-            right_v.at[widx].set(rec_v[:, :, -1], mode="drop"),
-            edge_modes_b.at[widx].set(em_b, mode="drop"),
-            edge_modes_r.at[widx].set(em_r, mode="drop"),
-            sel_o.at[widx].set(sel, mode="drop"),
-            mode16_o.at[widx].set(m16, mode="drop"),
-            cmode_o.at[widx].set(cm, mode="drop"),
-            i4modes_o.at[widx].set(i4_modes, mode="drop"),
-            i4sym_v_o.at[widx].set(i4_sv, mode="drop"),
-            i4sym_l_o.at[widx].set(i4_sl, mode="drop"),
-            dc_lev_o.at[widx].set(dc_lev, mode="drop"),
-            ac_lev_o.at[widx].set(ac_store, mode="drop"),
-            cdc_lev_o.at[widx].set(cdc_sel, mode="drop"),
-            cac_lev_o.at[widx].set(cac_sel, mode="drop"),
-            recon_y_o.at[widx].set(rec_y, mode="drop"),
-            recon_u_o.at[widx].set(rec_u, mode="drop"),
-            recon_v_o.at[widx].set(rec_v, mode="drop"),
-        )
+        ys = dict(sel=sel, mode16=m16, cmode=cm,
+                  dc_lev=dc_lev, ac_store=ac_store,
+                  cdc_i=jnp.stack([cdc_c[:k], cdc_c[k:]], axis=1),
+                  cac_i=jnp.stack([cac_c[:k], cac_c[k:]], axis=1),
+                  rec_y=rec_y, rec_u=rec_u, rec_v=rec_v)
+        if enable_i4x4:
+            ys.update(i4modes=i4["modes"], i4sym_v=i4["mode_sym_val"],
+                      i4sym_l=i4["mode_sym_len"])
+        return E, ys
 
-        df_y2 = df_y.at[widx].set(rec_y, mode="drop")
-        df_u2 = df_u.at[widx].set(rec_u, mode="drop")
-        df_v2 = df_v.at[widx].set(rec_v, mode="drop")
-        if enable_deblock:
-            sel_now = carry[8]
-            df_y2, df_u2, df_v2 = _deblock_diag(
-                didx, sel_now, df_y2, df_u2, df_v2)
-        carry = carry + (df_y2, df_u2, df_v2)
-        return carry, None
+    E0 = jnp.zeros((nmb + 1, _E_BYTES), jnp.uint8)
+    _, ys = jax.lax.scan(step, E0, xs)
 
-    init = (
-        jnp.zeros((nmb, 16), jnp.uint8), jnp.zeros((nmb, 16), jnp.uint8),
-        jnp.zeros((nmb, 8), jnp.uint8), jnp.zeros((nmb, 8), jnp.uint8),
-        jnp.zeros((nmb, 8), jnp.uint8), jnp.zeros((nmb, 8), jnp.uint8),
-        jnp.full((nmb, 4), 2, jnp.int32), jnp.full((nmb, 4), 2, jnp.int32),
-        jnp.zeros((nmb,), jnp.int32),
-        jnp.zeros((nmb,), jnp.int32), jnp.zeros((nmb,), jnp.int32),
-        jnp.full((nmb, 16), 2, jnp.int32),
-        jnp.zeros((nmb, 16), jnp.uint32), jnp.zeros((nmb, 16), jnp.int32),
-        jnp.zeros((nmb, 4, 4), jnp.int32),
-        jnp.zeros((nmb, 4, 4, 4, 4), jnp.int32),
-        jnp.zeros((nmb, 2, 2, 2), jnp.int32),
-        jnp.zeros((nmb, 2, 2, 2, 4, 4), jnp.int32),
-        jnp.zeros((nmb, 16, 16), jnp.uint8),
-        jnp.zeros((nmb, 8, 8), jnp.uint8),
-        jnp.zeros((nmb, 8, 8), jnp.uint8),
-        jnp.zeros((nmb, 16, 16), jnp.uint8),    # deblocked tiles
-        jnp.zeros((nmb, 8, 8), jnp.uint8),
-        jnp.zeros((nmb, 8, 8), jnp.uint8),
-    )
-    # extend by one step so the last diagonal gets deblocked (lag 1)
-    kmax = steps.shape[1]
-    pad_row = jnp.full((1, kmax), -1, jnp.int32)
-    steps_enc = jnp.concatenate([steps, pad_row])
-    steps_dbl = jnp.concatenate([pad_row, steps])
-    carry, _ = jax.lax.scan(step, init, (steps_enc, steps_dbl))
-    (_, _, _, _, _, _, _, _, sel, mode16, cmode, i4modes, i4sym_v, i4sym_l,
-     dc_lev, ac_lev, cdc_lev, cac_lev, recon_y, recon_u, recon_v,
-     df_y, df_u, df_v) = carry
+    # undo the diagonal ordering with one parallel gather per output;
+    # the inverse permutation is a single scatter of slot positions
+    inv = (jnp.zeros((nmb,), jnp.int32)
+           .at[steps_w.reshape(-1)]
+           .set(jnp.arange(n_steps * kmax, dtype=jnp.int32), mode="drop"))
+
+    def undiag(x):
+        return x.reshape((n_steps * kmax,) + x.shape[2:])[inv]
+
+    sel = undiag(ys["sel"])
+    mode16 = undiag(ys["mode16"])
+    cmode = undiag(ys["cmode"])
+    dc_lev = undiag(ys["dc_lev"])
+    ac_lev = undiag(ys["ac_store"])
+    cdc_intra = undiag(ys["cdc_i"])
+    cac_intra = undiag(ys["cac_i"])
+    recon_y = undiag(ys["rec_y"])
+    recon_u = undiag(ys["rec_u"])
+    recon_v = undiag(ys["rec_v"])
+    if enable_i4x4:
+        i4modes = undiag(ys["i4modes"])
+        i4sym_v = undiag(ys["i4sym_v"])
+        i4sym_l = undiag(ys["i4sym_l"])
+    else:
+        i4modes = jnp.full((nmb, 16), 2, jnp.int32)
+        i4sym_v = jnp.zeros((nmb, 16), jnp.uint32)
+        i4sym_l = jnp.zeros((nmb, 16), jnp.int32)
 
     is_intra_mb = sel != SEL_INTER
+    cdc_lev = jnp.where(is_intra_mb[:, None, None, None],
+                        cdc_intra, cdc_inter)
+    cac_lev = jnp.where(is_intra_mb[:, None, None, None, None, None],
+                        cac_intra, cac_inter)
     mv_y = jnp.where(is_intra_mb, 0, mv_y)
     mv_x = jnp.where(is_intra_mb, 0, mv_x)
     mv4_y = jnp.where(is_intra_mb[:, None, None], 0, mv4_y)
     mv4_x = jnp.where(is_intra_mb[:, None, None], 0, mv4_x)
     shape = jnp.where(is_intra_mb, 0, shape)
 
+    # ---------------- stage 3: deblocking --------------------------------
+    if enable_deblock:
+        nnz_inter_blk = jnp.sum(lev_inter != 0, axis=(-2, -1)) \
+            .astype(jnp.int32)
+        df_y, df_u, df_v = deblock_frame(
+            recon_y, recon_u, recon_v, sel, nnz_inter_blk, mv4_y, mv4_x,
+            qp, qpc, avail_top, avail_left, mb_width, mb_height)
+    else:
+        df_y, df_u, df_v = recon_y, recon_u, recon_v
+
     out = symbolize(sel, mode16, cmode, i4modes, i4sym_v, i4sym_l,
                     mv4_y, mv4_x, shape, dc_lev, ac_lev, lev_inter,
                     cdc_lev, cac_lev, mb_width, mb_height, has_inter)
-    if not enable_deblock:
-        df_y, df_u, df_v = recon_y, recon_u, recon_v
     out.update(dict(recon_y=recon_y, recon_u=recon_u, recon_v=recon_v,
                     df_y=df_y, df_u=df_u, df_v=df_v,
                     mv_y=mv_y, mv_x=mv_x, mv4_y=mv4_y, mv4_x=mv4_x,
                     shape=shape, sel=sel, i4modes=i4modes))
     return out
+
+
+# ---------------------------------------------------------------------------
+# deblocking: parallel bS derivation + light wavefront filter scan
+# ---------------------------------------------------------------------------
+
+def _frame_bs(sel, nnz_blk, mv4_y, mv4_x, avail_top, avail_left,
+              mb_width: int, mb_height: int):
+    """Boundary strengths for every MB, fully parallel (the hoisted
+    equivalent of the reference's per-MB `df_strength`,
+    `src/h264-lab.h:5535-5637`). Returns (bs_v, bs_h): (nmb, 4, 4)."""
+    nmb = mb_width * mb_height
+    is_intra = sel != SEL_INTER
+    nnz_pad = jnp.concatenate([nnz_blk, jnp.zeros((1, 4, 4), jnp.int32)])
+    mvy_pad = jnp.concatenate([mv4_y, jnp.zeros((1, 4, 4), jnp.int32)])
+    mvx_pad = jnp.concatenate([mv4_x, jnp.zeros((1, 4, 4), jnp.int32)])
+    intra_pad = jnp.concatenate([is_intra, jnp.zeros((1,), bool)])
+    idx = jnp.arange(nmb, dtype=jnp.int32)
+    rr = idx // mb_width
+    cc = idx % mb_width
+    has_left = (cc > 0) & avail_left
+    has_top = (rr > 0) & avail_top
+    li = jnp.where(has_left, idx - 1, nmb)
+    ti = jnp.where(has_top, idx - mb_width, nmb)
+
+    def edges(nb_i, has_nb, vertical):
+        def sel_e(a, edge):
+            return a[:, :, edge] if vertical else a[:, edge, :]
+
+        out = []
+        bs0 = deblock.mb_edge_bs(
+            intra_pad[nb_i][:, None], is_intra[:, None],
+            sel_e(nnz_pad[nb_i], 3), sel_e(nnz_blk, 0),
+            sel_e(mvy_pad[nb_i], 3), sel_e(mvx_pad[nb_i], 3),
+            sel_e(mv4_y, 0), sel_e(mv4_x, 0), True)
+        out.append(jnp.where(has_nb[:, None], bs0, 0))
+        for e in range(1, 4):
+            bse = deblock.mb_edge_bs(
+                is_intra[:, None], is_intra[:, None],
+                sel_e(nnz_blk, e - 1), sel_e(nnz_blk, e),
+                sel_e(mv4_y, e - 1), sel_e(mv4_x, e - 1),
+                sel_e(mv4_y, e), sel_e(mv4_x, e), False)
+            out.append(bse)
+        return jnp.stack(out, axis=1)
+
+    bs_v = edges(li, has_left, True)
+    bs_h = edges(ti, has_top, False)
+    return bs_v, bs_h
+
+
+def deblock_frame(recon_y, recon_u, recon_v, sel, nnz_blk, mv4_y, mv4_x,
+                  qp, qpc, avail_top, avail_left,
+                  mb_width: int, mb_height: int):
+    """In-loop deblocking of one frame/slice as a dedicated wavefront:
+    bS precomputed in parallel, then a scan over slope-1 diagonals whose
+    only work is the edge filters (V then H per MB). Slope 1 reproduces
+    raster-order spec semantics exactly *because* each step runs its V
+    pass over the whole diagonal before its H pass: the one cross-MB
+    raster dependency inside a diagonal — MB (r,c)'s top-edge H filter
+    reading pixels written by MB (r-1,c+1)'s left-edge V filter — is
+    satisfied by the H pass re-reading the carry after the V-pass
+    scatters (verified against the scalar raster decoder filter in
+    tests/test_deblock_order.py). u and v are stacked through one
+    filter call."""
+    from h264lab_tpu.models import wavefront
+    nmb = mb_width * mb_height
+    plan = wavefront.make_plan(mb_width, mb_height, slope=1)
+    steps = jnp.asarray(plan.steps)
+    bs_v, bs_h = _frame_bs(sel, nnz_blk, mv4_y, mv4_x,
+                           avail_top, avail_left, mb_width, mb_height)
+    steps_w = jnp.where(steps < 0, nmb, steps)
+
+    def diag_order(x, fill=0):
+        pad = jnp.full((1,) + x.shape[1:], fill, x.dtype)
+        return jnp.concatenate([x, pad])[steps_w]
+
+    xs = dict(idx=steps,
+              bs_v=diag_order(bs_v), bs_h=diag_order(bs_h),
+              a_top=diag_order(avail_top, False),
+              a_left=diag_order(avail_left, False))
+
+    df_y0 = jnp.concatenate([recon_y, jnp.zeros((1, 16, 16), jnp.uint8)])
+    df_c0 = jnp.concatenate([
+        jnp.stack([recon_u, recon_v], axis=1),
+        jnp.zeros((1, 2, 8, 8), jnp.uint8)])
+
+    def step(carry, xt):
+        df_y, df_c = carry
+        idx = xt["idx"]
+        mask = idx >= 0
+        ci = jnp.maximum(idx, 0)
+        r_i = ci // mb_width
+        c_i = ci % mb_width
+        li = jnp.maximum(ci - 1, 0)
+        ti = jnp.maximum(ci - mb_width, 0)
+        has_left = mask & (c_i > 0) & xt["a_left"]
+        has_top = mask & (r_i > 0) & xt["a_top"]
+        wi = jnp.where(mask, ci, nmb)
+        wl = jnp.where(has_left, li, nmb)
+        wt = jnp.where(has_top, ti, nmb)
+        bs_v = xt["bs_v"]
+        bs_h = xt["bs_h"]
+
+        # ---- luma vertical then horizontal ----
+        strip = jnp.concatenate(
+            [df_y[li].astype(jnp.int32), df_y[ci].astype(jnp.int32)], axis=2)
+        strip = deblock.filter_luma_v(strip, bs_v, qp)
+        df_y = df_y.at[wi].set(strip[:, :, 16:].astype(jnp.uint8),
+                               mode="drop")
+        df_y = df_y.at[wl, :, 12:16].set(
+            strip[:, :, 12:16].astype(jnp.uint8), mode="drop")
+        strip = jnp.concatenate(
+            [df_y[ti].astype(jnp.int32), df_y[ci].astype(jnp.int32)], axis=1)
+        strip = deblock.filter_luma_h(strip, bs_h, qp)
+        df_y = df_y.at[wi].set(strip[:, 16:, :].astype(jnp.uint8),
+                               mode="drop")
+        df_y = df_y.at[wt, 12:16, :].set(
+            strip[:, 12:16, :].astype(jnp.uint8), mode="drop")
+
+        # ---- chroma (u, v stacked on a plane axis) ----
+        bs_v2 = jnp.concatenate([bs_v, bs_v])
+        bs_h2 = jnp.concatenate([bs_h, bs_h])
+
+        def flat(x):          # (k, 2, h, w) -> (2k, h, w), planes major
+            return jnp.concatenate([x[:, 0], x[:, 1]])
+
+        def unflat(x, k):
+            return jnp.stack([x[:k], x[k:]], axis=1)
+
+        k = ci.shape[0]
+        strip = jnp.concatenate(
+            [flat(df_c[li]).astype(jnp.int32),
+             flat(df_c[ci]).astype(jnp.int32)], axis=2)
+        strip = deblock.filter_chroma_v(strip, bs_v2, qpc)
+        df_c = df_c.at[wi].set(unflat(strip[:, :, 8:].astype(jnp.uint8), k),
+                               mode="drop")
+        df_c = df_c.at[wl, :, :, 6:8].set(
+            unflat(strip[:, :, 6:8].astype(jnp.uint8), k), mode="drop")
+        strip = jnp.concatenate(
+            [flat(df_c[ti]).astype(jnp.int32),
+             flat(df_c[ci]).astype(jnp.int32)], axis=1)
+        strip = deblock.filter_chroma_h(strip, bs_h2, qpc)
+        df_c = df_c.at[wi].set(unflat(strip[:, 8:, :].astype(jnp.uint8), k),
+                               mode="drop")
+        df_c = df_c.at[wt, :, 6:8, :].set(
+            unflat(strip[:, 6:8, :].astype(jnp.uint8), k), mode="drop")
+        return (df_y, df_c), None
+
+    (df_y, df_c), _ = jax.lax.scan(step, (df_y0, df_c0), xs)
+    return df_y[:nmb], df_c[:nmb, 0], df_c[:nmb, 1]
 
 
 # ---------------------------------------------------------------------------
@@ -530,16 +610,6 @@ def _block_nc(nnz_grid, gw, gh, blk_avail_left, blk_avail_top):
 def _median3(a, b, c):
     return jnp.maximum(jnp.minimum(jnp.maximum(a, b), c),
                        jnp.minimum(a, b))
-
-
-def _neighbor_shift(arr2d, dy, dx, fill):
-    a = jnp.roll(arr2d, (dy, dx), axis=(0, 1))
-    mbh, mbw = arr2d.shape[0], arr2d.shape[1]
-    r = jax.lax.broadcasted_iota(jnp.int32, (mbh, mbw), 0)
-    c = jax.lax.broadcasted_iota(jnp.int32, (mbh, mbw), 1)
-    ok = ((r - dy) >= 0) & ((r - dy) < mbh) & \
-         ((c - dx) >= 0) & ((c - dx) < mbw)
-    return jnp.where(ok, a, fill), ok
 
 
 def _mv_predictors(mv4_y, mv4_x, is_intra, mb_width, mb_height):
@@ -902,7 +972,7 @@ def encode_intra_core(src_y_mb, src_u_mb, src_v_mb, qp, qpc,
     dummy = jnp.zeros((8, 8), jnp.uint8)
     return encode_frame_core(
         src_y_mb, src_u_mb, src_v_mb,
-        dummy, dummy, dummy, dummy, dummy, dummy, dummy,
+        dummy, dummy, dummy, dummy,
         qp, qpc, steps, avail_top, avail_left,
         mb_width, mb_height, has_inter=False, enable_i4x4=enable_i4x4,
         enable_deblock=enable_deblock)

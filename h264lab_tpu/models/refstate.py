@@ -35,9 +35,10 @@ def prepare_reference(recon_y_tiles, recon_u_tiles, recon_v_tiles,
     y_pad = qpel.pad_guard(y, qpel.GUARD)
     u_pad = qpel.pad_guard(u, qpel.GUARD // 2)
     v_pad = qpel.pad_guard(v, qpel.GUARD // 2)
-    b, h, j = qpel.half_pel_planes(y_pad)
 
     # coarse pyramid: 4x-downsampled unpadded plane, guard GUARD//4
+    # (half-pel values are computed on the fly from per-MB ME windows —
+    # see ops/me.py — so no frame-level half-pel planes are stored)
     h4 = y.shape[0] // 4
     w4 = y.shape[1] // 4
     y4 = ((y.astype(jnp.int32)
@@ -45,5 +46,4 @@ def prepare_reference(recon_y_tiles, recon_u_tiles, recon_v_tiles,
     y4_pad = jnp.pad(y4, ((qpel.GUARD // 4, qpel.GUARD // 4),
                           (qpel.GUARD // 4, qpel.GUARD // 4)), mode="edge")
 
-    return dict(y_pad=y_pad, u_pad=u_pad, v_pad=v_pad,
-                b=b, h=h, j=j, y4_pad=y4_pad)
+    return dict(y_pad=y_pad, u_pad=u_pad, v_pad=v_pad, y4_pad=y4_pad)

@@ -1,21 +1,34 @@
-"""Motion estimation, batched over macroblocks.
+"""Motion estimation, batched over macroblocks — hierarchical dense search.
 
 TPU-first re-design of the reference's candidate + small-diamond descent
 (`me_search_diamond`, `src/h264-lab.h:4973-5176`): branchy sequential
 descent maps poorly onto a vector machine, so ME here is a regular
 3-stage funnel evaluated for every MB of the frame at once:
 
-1. coarse: dense full search on 4x-downsampled tiles (±4 coarse px =
-   ±16 full px), 81 candidates of 4x4-SAD each;
-2. full-pel refine: dense ±2 window (25 candidates) of 16x16 SAD around
-   the scaled coarse winner;
-3. sub-pel refine: 8 half-pel then 8 quarter-pel neighbours via the
-   precomputed half-pel planes (ops/qpel.py).
+1. coarse: gather-free dense full search on the 4x-downsampled pyramid,
+   +-8 coarse px = +-32 full px (the reference's MV_RANGE=32,
+   `src/h264-lab.h:3222`), 289 shifted-plane SAD maps — pure VPU work;
+2. full-pel refine: one (34, 34) window per MB around the coarse winner
+   (vmapped dynamic_slice — the only data-dependent memory access in the
+   whole search), then a dense +-3 sweep of static window slices;
+3. sub-pel: the window is re-centred on the full-pel winner with
+   shift-select chains (the +-3 offset makes a 7-way `where` of static
+   slices — no gathers), half-pel b/h/j values are computed *from the
+   aligned window* with the 6-tap filters, and the full +-0.75-px
+   quarter-sample neighbourhood is evaluated with statically-known
+   fractional phases.
 
-Every stage is a fixed-shape gather + reduction — no data-dependent
-control flow. Costs are SAD + lambda_me * mv-bits, with the predictor
-approximated by (0,0) during search (exact median predictors are applied
-in the post-scan MVD pass; see models/inter_frame.py).
+Costs are SAD + lambda_me * mv-bits against a caller-supplied predictor
+(default (0,0); exact median-predictor MVD costs are applied in the
+post-scan symbolization).
+
+The aligned windows also drive partition ME (16x8/8x16/8x8) with purely
+static slicing, and the winning predictions double as the motion-
+compensated luma, so the inter luma path performs no further
+interpolation or MC gathers. Avoiding elementwise gathers is the central
+performance rule here: on TPU they run through the scalar core at
+~20 ms per million elements, while dense shifted-slice sweeps and
+masked selects run at VPU/HBM speed.
 """
 
 from __future__ import annotations
@@ -26,9 +39,12 @@ import numpy as np
 
 from h264lab_tpu.ops import qpel
 
-COARSE_R = 4        # coarse search radius (in 4x-downsampled pixels)
-REFINE_R = 2        # full-pel refinement radius
-MAX_MV_PEL = COARSE_R * 4 + REFINE_R   # = 18 full-pel; GUARD must exceed +3
+COARSE_R4 = 8        # coarse search radius in 4x-downsampled pixels (=32)
+REFINE_R = 3         # full-pel refinement radius around the coarse winner
+WIN_M = 9            # window margin each side of the coarse winner
+WIN_S = 16 + 2 * WIN_M          # = 34: sliced window side
+ALN_S = 27           # aligned window side: winner-5 .. winner+21
+SUB = 22             # aligned qpel plane side: winner-3 .. winner+18
 
 
 def mv_bits(v: jnp.ndarray) -> jnp.ndarray:
@@ -52,292 +68,105 @@ def downsample4(plane: jnp.ndarray) -> jnp.ndarray:
     return ((x + 8) >> 4).astype(jnp.uint8)
 
 
-def _window_offsets(radius: int):
-    d = np.arange(-radius, radius + 1, dtype=np.int32)
-    dy, dx = np.meshgrid(d, d, indexing="ij")
-    return jnp.asarray(dy.ravel()), jnp.asarray(dx.ravel())
-
-
-def coarse_search(cur4: jnp.ndarray, ref4_pad: jnp.ndarray,
-                  base_y4: jnp.ndarray, base_x4: jnp.ndarray,
-                  lam: jnp.ndarray):
-    """Stage 1: (k, 4, 4) coarse tiles vs padded 4x-downsampled reference.
-
-    Returns best (mv_y4, mv_x4) in coarse-pixel units.
-    """
-    dy, dx = _window_offsets(COARSE_R)          # (81,)
-    n_cand = dy.shape[0]
-
-    def cand_sad(i, best):
-        best_cost, best_y, best_x = best
-        blk = qpel.gather_blocks(ref4_pad, base_y4 + dy[i], base_x4 + dx[i],
-                                 4, 4).astype(jnp.int32)
-        sad = jnp.sum(jnp.abs(cur4.astype(jnp.int32) - blk), axis=(1, 2))
-        cost = sad * 16 + lam * (mv_bits(dy[i] * 16) + mv_bits(dx[i] * 16))
-        better = cost < best_cost
-        return (jnp.where(better, cost, best_cost),
-                jnp.where(better, dy[i], best_y),
-                jnp.where(better, dx[i], best_x))
-
-    k = cur4.shape[0]
-    init = (jnp.full((k,), 1 << 30, jnp.int32),
-            jnp.zeros((k,), jnp.int32), jnp.zeros((k,), jnp.int32))
-    cost, my, mx = jax.lax.fori_loop(0, n_cand, cand_sad, init)
-    return my, mx
-
-
-def refine_search(cur: jnp.ndarray, ref_pad: jnp.ndarray,
-                  base_y: jnp.ndarray, base_x: jnp.ndarray,
-                  center_y: jnp.ndarray, center_x: jnp.ndarray,
-                  lam: jnp.ndarray):
-    """Stage 2: full-pel ±REFINE_R around (center_y, center_x) (full-pel).
-
-    Returns (mv_y, mv_x) full-pel and the winning SAD cost.
-    """
-    dy, dx = _window_offsets(REFINE_R)
-
-    def cand(i, best):
-        best_cost, best_y, best_x = best
-        yy = center_y + dy[i]
-        xx = center_x + dx[i]
-        blk = qpel.gather_blocks(ref_pad, base_y + yy, base_x + xx,
-                                 16, 16).astype(jnp.int32)
-        sad = jnp.sum(jnp.abs(cur.astype(jnp.int32) - blk), axis=(1, 2))
-        cost = sad + lam * (mv_bits(yy * 4) + mv_bits(xx * 4))
-        better = cost < best_cost
-        return (jnp.where(better, cost, best_cost),
-                jnp.where(better, yy, best_y),
-                jnp.where(better, xx, best_x))
-
-    k = cur.shape[0]
-    init = (jnp.full((k,), 1 << 30, jnp.int32),
-            jnp.zeros((k,), jnp.int32), jnp.zeros((k,), jnp.int32))
-    cost, my, mx = jax.lax.fori_loop(0, dy.shape[0], cand, init)
-    return my, mx, cost
-
-
-_SUBPEL_OFFS = jnp.asarray(
-    [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1)],
-    dtype=jnp.int32)
-
-
-def subpel_refine(cur: jnp.ndarray, planes, base_y, base_x,
-                  mv_y_q, mv_x_q, lam, step: int):
-    """One sub-pel refinement round: test the 8 neighbours at `step`
-    quarter-pel distance around (mv_y_q, mv_x_q). Returns improved MV."""
-    full, b, h, j = planes
-    cur_i = cur.astype(jnp.int32)
-
-    def cand(i, best):
-        best_cost, best_y, best_x = best
-        yy = mv_y_q + _SUBPEL_OFFS[i, 0] * step
-        xx = mv_x_q + _SUBPEL_OFFS[i, 1] * step
-        pred = qpel.mc_luma(full, b, h, j, yy, xx, base_y, base_x)
-        sad = jnp.sum(jnp.abs(cur_i - pred.astype(jnp.int32)), axis=(1, 2))
-        cost = sad + lam * (mv_bits(yy) + mv_bits(xx))
-        better = cost < best_cost
-        return (jnp.where(better, cost, best_cost),
-                jnp.where(better, yy, best_y),
-                jnp.where(better, xx, best_x))
-
-    # seed with the current position
-    pred0 = qpel.mc_luma(full, b, h, j, mv_y_q, mv_x_q, base_y, base_x)
-    sad0 = jnp.sum(jnp.abs(cur_i - pred0.astype(jnp.int32)), axis=(1, 2))
-    cost0 = sad0 + lam * (mv_bits(mv_y_q) + mv_bits(mv_x_q))
-    best = jax.lax.fori_loop(0, 8, cand, (cost0, mv_y_q, mv_x_q))
-    return best  # (cost, mv_y_q, mv_x_q)
-
-
-def motion_search(cur_mb, ref_pad, hpel, base_y, base_x, base_y4, base_x4,
-                  cur4, ref4_pad, qp):
-    """Full 3-stage ME for all MBs. Returns (mv_y, mv_x) in quarter-pel
-    and the final cost (SAD + lambda*mvbits)."""
-    lam = lambda_me(qp)
-    cy4, cx4 = coarse_search(cur4, ref4_pad, base_y4, base_x4, lam)
-    my, mx, _ = refine_search(cur_mb, ref_pad, base_y, base_x,
-                              cy4 * 4, cx4 * 4, lam)
-    b, h, j = hpel
-    planes = (ref_pad, b, h, j)
-    cost, qy, qx = subpel_refine(cur_mb, planes, base_y, base_x,
-                                 my * 4, mx * 4, lam, step=2)
-    cost, qy, qx = subpel_refine(cur_mb, planes, base_y, base_x,
-                                 qy, qx, lam, step=1)
-    return qy, qx, cost
-
-
-# ---------------------------------------------------------------------------
-# Partition motion search (16x8 / 8x16 / 8x8)
-# ---------------------------------------------------------------------------
-
-def subpel_refine_block(cur, planes, base_y, base_x, mv_y_q, mv_x_q, lam,
-                        step: int, bh: int, bw: int):
-    """Sub-pel refinement for arbitrary block shapes (partition ME).
-    cur: (k, bh, bw). Returns (cost, mv_y_q, mv_x_q)."""
-    full, b, h, j = planes
-    cur_i = cur.astype(jnp.int32)
-
-    def cand(i, best):
-        best_cost, best_y, best_x = best
-        yy = mv_y_q + _SUBPEL_OFFS[i, 0] * step
-        xx = mv_x_q + _SUBPEL_OFFS[i, 1] * step
-        pred = qpel.mc_luma(full, b, h, j, yy, xx, base_y, base_x, bh, bw)
-        sad = jnp.sum(jnp.abs(cur_i - pred.astype(jnp.int32)), axis=(1, 2))
-        cost = sad + lam * (mv_bits(yy) + mv_bits(xx))
-        better = cost < best_cost
-        return (jnp.where(better, cost, best_cost),
-                jnp.where(better, yy, best_y),
-                jnp.where(better, xx, best_x))
-
-    pred0 = qpel.mc_luma(full, b, h, j, mv_y_q, mv_x_q, base_y, base_x,
-                         bh, bw)
-    sad0 = jnp.sum(jnp.abs(cur_i - pred0.astype(jnp.int32)), axis=(1, 2))
-    cost0 = sad0 + lam * (mv_bits(mv_y_q) + mv_bits(mv_x_q))
-    return jax.lax.fori_loop(0, 8, cand, (cost0, mv_y_q, mv_x_q))
-
-
-def refine_block(cur, ref_pad, base_y, base_x, center_y, center_x, lam,
-                 bh: int, bw: int):
-    """Full-pel ±REFINE_R dense refinement for an arbitrary block shape."""
-    dy, dx = _window_offsets(REFINE_R)
-
-    def cand(i, best):
-        best_cost, best_y, best_x = best
-        yy = center_y + dy[i]
-        xx = center_x + dx[i]
-        blk = qpel.gather_blocks(ref_pad, base_y + yy, base_x + xx,
-                                 bh, bw).astype(jnp.int32)
-        sad = jnp.sum(jnp.abs(cur.astype(jnp.int32) - blk), axis=(1, 2))
-        cost = sad + lam * (mv_bits(yy * 4) + mv_bits(xx * 4))
-        better = cost < best_cost
-        return (jnp.where(better, cost, best_cost),
-                jnp.where(better, yy, best_y),
-                jnp.where(better, xx, best_x))
-
-    k = cur.shape[0]
-    init = (jnp.full((k,), 1 << 30, jnp.int32),
-            jnp.zeros((k,), jnp.int32), jnp.zeros((k,), jnp.int32))
-    return jax.lax.fori_loop(0, dy.shape[0], cand, init)
-
-
-def partition_search(cur_mb, ref_pad, hpel, base_y, base_x,
-                     center_full_y, center_full_x, qp):
-    """Motion search for all sub-partitions of every MB, seeded from the
-    16x16 full-pel winner (center_full_*, full-pel units).
-
-    Returns dict with per-shape quarter-pel MVs and costs:
-      mv16x8 (k, 2, 2), mv8x16 (k, 2, 2), mv8x8 (k, 4, 2) [..., (y, x)]
-      cost16x8/cost8x16/cost8x8: (k,) summed SAD+lambda*mvbits costs.
-    """
-    lam = lambda_me(qp)
-    b, h, j = hpel
-    planes = (ref_pad, b, h, j)
-
-    def search_sub(oy, ox, bh, bw):
-        cur = cur_mb[:, oy:oy + bh, ox:ox + bw]
-        by = base_y + oy
-        bx = base_x + ox
-        c, my, mx = refine_block(cur, ref_pad, by, bx,
-                                 center_full_y, center_full_x, lam, bh, bw)
-        c, qy, qx = subpel_refine_block(cur, planes, by, bx, my * 4, mx * 4,
-                                        lam, 2, bh, bw)
-        c, qy, qx = subpel_refine_block(cur, planes, by, bx, qy, qx,
-                                        lam, 1, bh, bw)
-        return c, qy, qx
-
-    out = {}
-    # 16x8 (top, bottom)
-    parts = [search_sub(0, 0, 8, 16), search_sub(8, 0, 8, 16)]
-    out["mv16x8"] = jnp.stack(
-        [jnp.stack([p[1], p[2]], axis=-1) for p in parts], axis=1)
-    out["cost16x8"] = parts[0][0] + parts[1][0]
-    # 8x16 (left, right)
-    parts = [search_sub(0, 0, 16, 8), search_sub(0, 8, 16, 8)]
-    out["mv8x16"] = jnp.stack(
-        [jnp.stack([p[1], p[2]], axis=-1) for p in parts], axis=1)
-    out["cost8x16"] = parts[0][0] + parts[1][0]
-    # 8x8 (raster quadrants)
-    parts = [search_sub(0, 0, 8, 8), search_sub(0, 8, 8, 8),
-             search_sub(8, 0, 8, 8), search_sub(8, 8, 8, 8)]
-    out["mv8x8"] = jnp.stack(
-        [jnp.stack([p[1], p[2]], axis=-1) for p in parts], axis=1)
-    out["cost8x8"] = sum(p[0] for p in parts)
-    return out
-
-
-# ---------------------------------------------------------------------------
-# Dense (gather-free) motion search
-#
-# TPU gathers run through the scalar core (~25 ms per million elements on
-# v5e), so the candidate loops above are HBM-gather-bound. The dense
-# formulation below never gathers during search: every candidate offset is
-# uniform across MBs, so a candidate's SAD map is |cur_plane - shifted ref|
-# tile-reduced to (mbh, mbw) — pure VPU work. Measured: 1089 full-pel
-# candidates over 1080p in ~120 ms (vs ~5.8 s for the gather funnel).
-# Sub-pel refinement gathers one small window per MB once, then evaluates
-# the full ±0.75-pel quarter-sample neighbourhood with static window
-# slices (statically-known fractional phases need no runtime phase select).
-# ---------------------------------------------------------------------------
-
-FULL_RANGE = 16      # dense full-pel search radius
-WIN = 18             # sub-pel window: 16 + 1 left/top + 1 right/bottom
-
-
-def dense_full_search(cur_plane, ref_pad, lam, mb_height: int, mb_width: int,
-                      row_offset, range_pel: int = FULL_RANGE):
-    """Dense full-pel search. cur_plane: (bh*16, W) int-castable band
-    plane; ref_pad: guard-padded full reference. Returns per-MB full-pel
-    (mv_y, mv_x) and SAD of the winner, each (nmb,)."""
-    H = mb_height * 16
-    W = mb_width * 16
-    cur = cur_plane.astype(jnp.int32)
-    side = 2 * range_pel + 1
+def coarse_search_4x(cur4, ref4_pad, lam, mb_height: int, mb_width: int,
+                     row_offset, mvp_y, mvp_x, radius: int = COARSE_R4):
+    """Dense full search on the 4x pyramid. cur4: (mbh*4, mbw*4) band
+    plane; ref4_pad: full-frame 4x plane with GUARD//4 guard. Returns
+    per-MB coarse-pixel (dy4, dx4), each (nmb,) int32."""
+    g4 = qpel.GUARD // 4
+    H4 = mb_height * 4
+    W4 = mb_width * 4
+    cur = cur4.astype(jnp.int32)
+    side = 2 * radius + 1
+    mvp_y2 = mvp_y.reshape(mb_height, mb_width)
+    mvp_x2 = mvp_x.reshape(mb_height, mb_width)
 
     def body(i, st):
-        best_cost, best_sad, best_dy, best_dx = st
-        dy = i // side - range_pel
-        dx = i % side - range_pel
+        best_cost, best_dy, best_dx = st
+        dy = i // side - radius
+        dx = i % side - radius
         sub = jax.lax.dynamic_slice(
-            ref_pad, (qpel.GUARD + row_offset * 16 + dy, qpel.GUARD + dx),
-            (H, W)).astype(jnp.int32)
+            ref4_pad, (g4 + row_offset * 4 + dy, g4 + dx),
+            (H4, W4)).astype(jnp.int32)
         sad = (jnp.abs(cur - sub)
-               .reshape(mb_height, 16, mb_width, 16).sum(axis=(1, 3)))
-        cost = sad + lam * (mv_bits(dy * 4) + mv_bits(dx * 4))
+               .reshape(mb_height, 4, mb_width, 4).sum(axis=(1, 3)))
+        cost = sad * 16 + lam * (mv_bits(dy * 16 - mvp_y2)
+                                 + mv_bits(dx * 16 - mvp_x2))
         upd = cost < best_cost
         return (jnp.where(upd, cost, best_cost),
-                jnp.where(upd, sad, best_sad),
                 jnp.where(upd, dy, best_dy),
                 jnp.where(upd, dx, best_dx))
 
     shape = (mb_height, mb_width)
     init = (jnp.full(shape, 1 << 30, jnp.int32),
-            jnp.full(shape, 1 << 30, jnp.int32),
             jnp.zeros(shape, jnp.int32), jnp.zeros(shape, jnp.int32))
-    _, sad, dy, dx = jax.lax.fori_loop(0, side * side, body, init)
-    return dy.reshape(-1), dx.reshape(-1), sad.reshape(-1)
+    _, dy, dx = jax.lax.fori_loop(0, side * side, body, init)
+    return dy.reshape(-1), dx.reshape(-1)
 
 
-def gather_subpel_windows(ref_pad, hpel, base_y, base_x, mv_y, mv_x):
-    """One (k, WIN, WIN) window per plane around (best - 1): the only
-    gathers of the dense ME path."""
-    b, h, j = hpel
-    wy = base_y + mv_y - 1
-    wx = base_x + mv_x - 1
-    return tuple(qpel.gather_blocks(p, wy, wx, WIN, WIN).astype(jnp.int32)
-                 for p in (ref_pad, b, h, j))
+def _slice_windows(plane, oy, ox, sh: int, sw: int):
+    """Per-MB (sh, sw) windows via vmapped dynamic_slice (~7x faster than
+    an elementwise gather on TPU). Offsets must be in-range: dynamic_slice
+    clamps out-of-range starts, which would silently misalign windows."""
+    f = jax.vmap(lambda y, x: jax.lax.dynamic_slice(plane, (y, x), (sh, sw)))
+    return f(oy, ox)
 
 
-def _pred_from_windows(wins, dyq: int, dxq: int):
+def _shift_select(x, sel, lo: int, hi: int, base: int, size: int, axis: int):
+    """out[k] = x[k] sliced at (base + sel[k]) of length `size` along
+    `axis`, for sel in [lo, hi] — a (hi-lo+1)-way masked select of static
+    slices (the gather-free dynamic window re-centring primitive)."""
+    out = None
+    for s in range(lo, hi + 1):
+        idx = [slice(None)] * x.ndim
+        idx[axis] = slice(base + s, base + s + size)
+        sl = x[tuple(idx)]
+        m = (sel == s).reshape((-1,) + (1,) * (x.ndim - 1))
+        out = jnp.where(m, sl, out) if out is not None else \
+            jnp.where(m, sl, jnp.zeros_like(sl))
+    return out
+
+
+def _hpel_from_window(win):
+    """6-tap half-pel values computed from aligned (k, 27, 27) int32
+    full-pel windows (spec 8.4.2.2.1; reference kernels
+    `src/h264-lab.h:1964-2131`). With the winner at coord 5, returns the
+    (F, B, H, J) qpel planes aligned on coord i == full-pel (i + 2):
+      F (k,22,22) full-pel;    B (k,22,22) half-pel right of F[i]
+      H (k,22,22) half-pel below;  J (k,22,22) centre half-pel
+    """
+    def f6_h(x):
+        return (x[..., :, 0:-5] - 5 * x[..., :, 1:-4] + 20 * x[..., :, 2:-3]
+                + 20 * x[..., :, 3:-2] - 5 * x[..., :, 4:-1] + x[..., :, 5:])
+
+    def f6_v(x):
+        return (x[..., 0:-5, :] - 5 * x[..., 1:-4, :] + 20 * x[..., 2:-3, :]
+                + 20 * x[..., 3:-2, :] - 5 * x[..., 4:-1, :] + x[..., 5:, :])
+
+    F = win[:, 2:24, 2:24]
+    b_arr = jnp.clip((f6_h(win) + 16) >> 5, 0, 255)      # (k, 27, 22)
+    B = b_arr[:, 2:24, :]
+    h_raw = f6_v(win)                                     # (k, 22, 27)
+    H_ = jnp.clip((h_raw + 16) >> 5, 0, 255)[:, :, 2:24]
+    J = jnp.clip((f6_h(h_raw) + 512) >> 10, 0, 255)       # (k, 22, 22)
+    return F, B, H_, J
+
+
+def pred_from_windows(wins, dyq: int, dxq: int, center: int,
+                      oy0: int = 0, ox0: int = 0, bh: int = 16, bw: int = 16):
     """Quarter-pel prediction for a statically-known offset (dyq, dxq) in
-    [-3, 3] relative to the window centre full-pel position. The phase is
-    static, so no runtime phase selection is needed (cf. qpel.mc_luma)."""
+    quarter-pel around full-pel window position `center` (+ block offset
+    (oy0, ox0)). wins = (F, B, H, J) sub-windows in common coordinates
+    (aligned so index i of every plane is full-pel coord i). No runtime
+    phase selection: the phase is static (cf. spec Figure 8-4)."""
     wf, wb, wh, wj = wins
-    oy = 1 + (dyq >> 2)
-    ox = 1 + (dxq >> 2)
+    oy = center + oy0 + (dyq >> 2)
+    ox = center + ox0 + (dxq >> 2)
     fy = dyq & 3
     fx = dxq & 3
 
     def S(w, ey=0, ex=0):
-        return w[:, oy + ey:oy + ey + 16, ox + ex:ox + ex + 16]
+        return w[:, oy + ey:oy + ey + bh, ox + ex:ox + ex + bw]
 
     def avg(p, q):
         return (p + q + 1) >> 1
@@ -363,41 +192,201 @@ def _pred_from_windows(wins, dyq: int, dxq: int):
     return table[(fx, fy)]()
 
 
-def motion_search_dense(cur_plane, cur_tiles, ref_pad, hpel,
+def motion_search_dense(cur_plane, cur_tiles, ref_pad, ref4_pad,
                         base_y, base_x, qp,
                         mb_height: int, mb_width: int, row_offset,
-                        enable_subpel: bool = True):
-    """Gather-free ME: dense full-pel search + windowed ±0.75-pel dense
-    quarter-sample refinement. Also returns the winning luma prediction
-    (so 16x16 MC needs no further interpolation).
+                        enable_subpel: bool = True,
+                        mvp_y=None, mvp_x=None):
+    """Hierarchical gather-free ME (see module docstring).
 
-    `enable_subpel=False` stops at the full-pel winner (reference speed
-    presets >= 9 skip the hpel/qpel refinement, `src/h264-lab.h:5083`).
-
-    Returns (mv_y_q, mv_x_q, cost, pred) with pred (nmb, 16, 16) uint8.
+    Returns (mv_y_q, mv_x_q, cost, pred, aux) with pred (nmb, 16, 16)
+    uint8 (the final MC luma) and aux = dict(wins, full_my/mx, cy4/cx4)
+    for partition-search and chroma-MC reuse.
     """
     lam = lambda_me(qp)
-    fy_, fx_, _ = dense_full_search(cur_plane, ref_pad, lam,
-                                    mb_height, mb_width, row_offset)
-    wins = gather_subpel_windows(ref_pad, hpel, base_y, base_x, fy_, fx_)
-    cur_i = cur_tiles.astype(jnp.int32)
-    k = cur_i.shape[0]
+    nmb = mb_height * mb_width
+    if mvp_y is None:
+        mvp_y = jnp.zeros((nmb,), jnp.int32)
+    if mvp_x is None:
+        mvp_x = jnp.zeros((nmb,), jnp.int32)
 
-    best_cost = jnp.full((k,), 1 << 30, jnp.int32)
-    best_y = jnp.zeros((k,), jnp.int32)
-    best_x = jnp.zeros((k,), jnp.int32)
-    best_pred = jnp.zeros((k, 16, 16), jnp.int32)
-    sweep = range(-3, 4) if enable_subpel else range(0, 1)
-    for dyq in sweep:
-        for dxq in sweep:
-            pred = _pred_from_windows(wins, dyq, dxq)
-            sad = jnp.sum(jnp.abs(cur_i - pred), axis=(1, 2))
-            mvy = fy_ * 4 + dyq
-            mvx = fx_ * 4 + dxq
-            cost = sad + lam * (mv_bits(mvy) + mv_bits(mvx))
+    cur4 = downsample4(cur_plane)
+    cy4, cx4 = coarse_search_4x(cur4, ref4_pad, lam, mb_height, mb_width,
+                                row_offset, mvp_y, mvp_x)
+
+    # one full-pel window per MB around the coarse winner
+    win = _slice_windows(ref_pad, base_y + 4 * cy4 - WIN_M,
+                         base_x + 4 * cx4 - WIN_M,
+                         WIN_S, WIN_S).astype(jnp.int32)
+    cur_i = cur_tiles.astype(jnp.int32)
+
+    # ---- full-pel +-3 dense refine (static slices of the window) ----
+    best_cost = jnp.full((nmb,), 1 << 30, jnp.int32)
+    best_dy = jnp.zeros((nmb,), jnp.int32)
+    best_dx = jnp.zeros((nmb,), jnp.int32)
+    for dy in range(-REFINE_R, REFINE_R + 1):
+        for dx in range(-REFINE_R, REFINE_R + 1):
+            blk = win[:, WIN_M + dy:WIN_M + dy + 16,
+                      WIN_M + dx:WIN_M + dx + 16]
+            sad = jnp.sum(jnp.abs(cur_i - blk), axis=(1, 2))
+            myq = (cy4 * 4 + dy) * 4
+            mxq = (cx4 * 4 + dx) * 4
+            cost = sad + lam * (mv_bits(myq - mvp_y) + mv_bits(mxq - mvp_x))
             upd = cost < best_cost
             best_cost = jnp.where(upd, cost, best_cost)
-            best_y = jnp.where(upd, mvy, best_y)
-            best_x = jnp.where(upd, mvx, best_x)
+            best_dy = jnp.where(upd, dy, best_dy)
+            best_dx = jnp.where(upd, dx, best_dx)
+
+    full_my = cy4 * 4 + best_dy                      # full-pel winner
+    full_mx = cx4 * 4 + best_dx
+
+    # re-centre the window on the winner: A[p] = win[winner - 5 + p]
+    A = _shift_select(win, best_dy, -REFINE_R, REFINE_R,
+                      WIN_M - 5, ALN_S, axis=1)
+    A = _shift_select(A, best_dx, -REFINE_R, REFINE_R,
+                      WIN_M - 5, ALN_S, axis=2)
+    aux = dict(cy4=cy4, cx4=cx4, full_my=full_my, full_mx=full_mx,
+               wins=None)
+
+    if not enable_subpel:
+        pred = A[:, 5:21, 5:21]
+        return (full_my * 4, full_mx * 4, best_cost,
+                pred.astype(jnp.uint8), aux)
+
+    # ---- sub-pel: hpel from the aligned window, dense +-0.75 sweep ----
+    wins = _hpel_from_window(A)
+    aux["wins"] = wins
+
+    best_cost = jnp.full((nmb,), 1 << 30, jnp.int32)
+    best_yq = jnp.zeros((nmb,), jnp.int32)
+    best_xq = jnp.zeros((nmb,), jnp.int32)
+    best_pred = jnp.zeros((nmb, 16, 16), jnp.int32)
+    for dyq in range(-3, 4):
+        for dxq in range(-3, 4):
+            pred = pred_from_windows(wins, dyq, dxq, center=3)
+            sad = jnp.sum(jnp.abs(cur_i - pred), axis=(1, 2))
+            mvy = full_my * 4 + dyq
+            mvx = full_mx * 4 + dxq
+            cost = sad + lam * (mv_bits(mvy - mvp_y) + mv_bits(mvx - mvp_x))
+            upd = cost < best_cost
+            best_cost = jnp.where(upd, cost, best_cost)
+            best_yq = jnp.where(upd, mvy, best_yq)
+            best_xq = jnp.where(upd, mvx, best_xq)
             best_pred = jnp.where(upd[:, None, None], pred, best_pred)
-    return best_y, best_x, best_cost, best_pred.astype(jnp.uint8)
+    return best_yq, best_xq, best_cost, best_pred.astype(jnp.uint8), aux
+
+
+# ---------------------------------------------------------------------------
+# Partition motion search (16x8 / 8x16 / 8x8) from the shared windows
+# ---------------------------------------------------------------------------
+
+def _search_geometry(cur_tiles, wins, lam, offsets, bh: int, bw: int,
+                     full_my, full_mx, mvp_y, mvp_x):
+    """Search all blocks of one partition geometry: per-block dense +-2
+    full-pel sweep (static slices of the aligned windows), shift-select
+    re-centring, then one batched +-0.75 qpel sweep over every block.
+    Returns (cost, mv_y_q, mv_x_q, pred), leading dim (n_blocks, k)."""
+    k = cur_tiles.shape[0]
+    nb = len(offsets)
+    subs = [[], [], [], []]
+    curs = []
+    blk_my = []
+    blk_mx = []
+    for oy0, ox0 in offsets:
+        cur_i = cur_tiles[:, oy0:oy0 + bh, ox0:ox0 + bw].astype(jnp.int32)
+        curs.append(cur_i)
+        # stage A: full-pel +-2 around the 16x16 winner
+        best = jnp.full((k,), 1 << 30, jnp.int32)
+        bdy = jnp.zeros((k,), jnp.int32)
+        bdx = jnp.zeros((k,), jnp.int32)
+        F = wins[0]
+        for dy in range(-2, 3):
+            for dx in range(-2, 3):
+                blk = F[:, 3 + oy0 + dy:3 + oy0 + dy + bh,
+                        3 + ox0 + dx:3 + ox0 + dx + bw]
+                c = jnp.sum(jnp.abs(cur_i - blk), axis=(1, 2)) \
+                    + lam * (mv_bits((full_my + dy) * 4 - mvp_y)
+                             + mv_bits((full_mx + dx) * 4 - mvp_x))
+                upd = c < best
+                best = jnp.where(upd, c, best)
+                bdy = jnp.where(upd, dy, bdy)
+                bdx = jnp.where(upd, dx, bdx)
+        blk_my.append(full_my + bdy)
+        blk_mx.append(full_mx + bdx)
+        # re-centre (bh+2, bw+2) block windows on the block winner
+        for i, w in enumerate(wins):
+            t = _shift_select(w, bdy, -2, 2, 3 + oy0 - 1, bh + 2, axis=1)
+            t = _shift_select(t, bdx, -2, 2, 3 + ox0 - 1, bw + 2, axis=2)
+            subs[i].append(t)
+
+    cur_b = jnp.concatenate(curs)
+    sub = tuple(jnp.concatenate(s) for s in subs)
+    bmy = jnp.concatenate(blk_my)
+    bmx = jnp.concatenate(blk_mx)
+    mvpy = jnp.concatenate([mvp_y] * nb)
+    mvpx = jnp.concatenate([mvp_x] * nb)
+
+    best_cost = jnp.full((nb * k,), 1 << 30, jnp.int32)
+    best_yq = jnp.zeros((nb * k,), jnp.int32)
+    best_xq = jnp.zeros((nb * k,), jnp.int32)
+    best_pred = jnp.zeros((nb * k, bh, bw), jnp.int32)
+    for dyq in range(-3, 4):
+        for dxq in range(-3, 4):
+            pred = pred_from_windows(sub, dyq, dxq, center=1, bh=bh, bw=bw)
+            sad = jnp.sum(jnp.abs(cur_b - pred), axis=(1, 2))
+            mvy = bmy * 4 + dyq
+            mvx = bmx * 4 + dxq
+            cost = sad + lam * (mv_bits(mvy - mvpy) + mv_bits(mvx - mvpx))
+            upd = cost < best_cost
+            best_cost = jnp.where(upd, cost, best_cost)
+            best_yq = jnp.where(upd, mvy, best_yq)
+            best_xq = jnp.where(upd, mvx, best_xq)
+            best_pred = jnp.where(upd[:, None, None], pred, best_pred)
+    return (best_cost.reshape(nb, k), best_yq.reshape(nb, k),
+            best_xq.reshape(nb, k), best_pred.reshape(nb, k, bh, bw))
+
+
+def partition_search(cur_tiles, aux, qp, mvp_y=None, mvp_x=None):
+    """Motion search for all sub-partitions of every MB from the shared
+    ME windows (reference partition proposal + per-partition search,
+    `src/h264-lab.h:5224-5256`, `:5423-5498`).
+
+    Returns dict with per-shape quarter-pel MVs, costs, and predictions:
+      mv16x8 (k, 2, 2), mv8x16 (k, 2, 2), mv8x8 (k, 4, 2) [..., (y, x)]
+      cost*: (k,) summed costs; pred16x8/pred8x16/pred8x8: (k, 16, 16).
+    """
+    lam = lambda_me(qp)
+    wins = aux["wins"]
+    full_my = aux["full_my"]
+    full_mx = aux["full_mx"]
+    k = cur_tiles.shape[0]
+    if mvp_y is None:
+        mvp_y = jnp.zeros((k,), jnp.int32)
+    if mvp_x is None:
+        mvp_x = jnp.zeros((k,), jnp.int32)
+
+    out = {}
+    # 16x8 (top, bottom)
+    c, my, mx, pr = _search_geometry(
+        cur_tiles, wins, lam, [(0, 0), (8, 0)], 8, 16,
+        full_my, full_mx, mvp_y, mvp_x)
+    out["mv16x8"] = jnp.stack([my, mx], axis=-1).transpose(1, 0, 2)
+    out["cost16x8"] = c[0] + c[1]
+    out["pred16x8"] = jnp.concatenate([pr[0], pr[1]], axis=1)
+    # 8x16 (left, right)
+    c, my, mx, pr = _search_geometry(
+        cur_tiles, wins, lam, [(0, 0), (0, 8)], 16, 8,
+        full_my, full_mx, mvp_y, mvp_x)
+    out["mv8x16"] = jnp.stack([my, mx], axis=-1).transpose(1, 0, 2)
+    out["cost8x16"] = c[0] + c[1]
+    out["pred8x16"] = jnp.concatenate([pr[0], pr[1]], axis=2)
+    # 8x8 (raster quadrants)
+    c, my, mx, pr = _search_geometry(
+        cur_tiles, wins, lam, [(0, 0), (0, 8), (8, 0), (8, 8)], 8, 8,
+        full_my, full_mx, mvp_y, mvp_x)
+    out["mv8x8"] = jnp.stack([my, mx], axis=-1).transpose(1, 0, 2)
+    out["cost8x8"] = c.sum(axis=0)
+    top = jnp.concatenate([pr[0], pr[1]], axis=2)
+    bot = jnp.concatenate([pr[2], pr[3]], axis=2)
+    out["pred8x8"] = jnp.concatenate([top, bot], axis=1)
+    return out

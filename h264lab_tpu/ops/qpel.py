@@ -20,7 +20,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-GUARD = 20  # luma guard ring in pixels (reference uses 16: MV_GUARD+2)
+GUARD = 48  # luma guard ring in pixels: covers the full +-32 MV range
+            # (reference MV_RANGE=32 + MV_GUARD, `src/h264-lab.h:3221-3222`)
+            # plus the +-3 refine, 6-tap support and the ME window margin
+            # (window origins must stay >= 0: dynamic_slice clamps)
 
 
 def pad_guard(plane: jnp.ndarray, guard: int = GUARD) -> jnp.ndarray:
@@ -159,6 +162,52 @@ def mc_chroma(plane: jnp.ndarray, mv_y: jnp.ndarray, mv_x: jnp.ndarray,
     out = ((8 - fx) * (8 - fy) * A + fx * (8 - fy) * B
            + (8 - fx) * fy * C + fx * fy * D + 32) >> 6
     return out.astype(jnp.uint8)
+
+
+def mc_chroma_uniform(u_pad, v_pad, cb_y, cb_x, cy4, cx4, mv_y, mv_x):
+    """Uniform-MV (16x16) chroma MC for both planes from one window
+    slice per MB: a (2, 14, 14) stacked-plane window around the coarse
+    ME centre, re-centred on the final MV with 4-way shift-selects, then
+    the spec 8.4.2.2.2 eighth-pel bilinear with dynamic weights.
+
+    cb_*: chroma block bases in padded coords; cy4/cx4: coarse-stage
+    winner (4-full-pel units); mv in luma quarter-pel. Returns (pred_u,
+    pred_v) each (k, 8, 8) uint8."""
+    uv = jnp.stack([u_pad, v_pad])
+    k = cb_y.shape[0]
+    CW = 14
+    oy = cb_y + 2 * cy4 - 2
+    ox = cb_x + 2 * cx4 - 2
+    f = jax.vmap(lambda y, x: jax.lax.dynamic_slice(uv, (0, y, x),
+                                                    (2, CW, CW)))
+    win = f(oy, ox).astype(jnp.int32)            # (k, 2, 14, 14)
+
+    # integer re-centring: chroma px offset of the final MV vs the window
+    ry = (mv_y >> 3) - 2 * cy4 + 2               # in [0, 3]
+    rx = (mv_x >> 3) - 2 * cx4 + 2
+
+    def shift(x, sel, axis):
+        out = None
+        for s in range(0, 4):
+            idx = [slice(None)] * x.ndim
+            idx[axis] = slice(s, s + 9)
+            sl = x[tuple(idx)]
+            m = (sel == s).reshape((-1,) + (1,) * (x.ndim - 1))
+            out = jnp.where(m, sl, out) if out is not None else \
+                jnp.where(m, sl, jnp.zeros_like(sl))
+        return out
+
+    w9 = shift(shift(win, ry, 2), rx, 3)         # (k, 2, 9, 9)
+    fy = (mv_y & 7)[:, None, None, None]
+    fx = (mv_x & 7)[:, None, None, None]
+    A = w9[:, :, 0:8, 0:8]
+    B = w9[:, :, 0:8, 1:9]
+    C = w9[:, :, 1:9, 0:8]
+    D = w9[:, :, 1:9, 1:9]
+    out = ((8 - fx) * (8 - fy) * A + fx * (8 - fy) * B
+           + (8 - fx) * fy * C + fx * fy * D + 32) >> 6
+    out = out.astype(jnp.uint8)
+    return out[:, 0], out[:, 1]
 
 
 def mc_luma_grid(full, b, h, j, mv4_y, mv4_x, mb_base_y, mb_base_x):
