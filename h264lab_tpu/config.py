@@ -92,7 +92,9 @@ class EncoderConfig:
 
     # Parallelism (TPU-native analog of the reference's max_threads,
     # `src/h264-lab.h:142-170`): number of independent slice bands per frame
-    # sharded over chips, and GOP-parallel width over hosts/devices.
+    # (encoded in one vmapped dispatch; shardable over chips), and
+    # GOP-parallel lane count (default for parallel.gop.GopBandEncoder /
+    # encode_stream).
     slice_bands: int = 1
     gop_parallel: int = 1
 

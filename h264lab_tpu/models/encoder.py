@@ -79,6 +79,7 @@ class H264Encoder:
         self._last_tiles = None
         self._force_transparent = False
         self._last_frame_bytes = 0
+        self._in_flight = 0          # dispatched-but-unfinished frames
         self._band_cache = {}
         self._denoise_prev = None   # previous denoised planes
         self.rc = RateControl(cfg.n_mb, cfg.gop, cfg.vbv_size_bytes, cfg.qp)
@@ -106,23 +107,21 @@ class H264Encoder:
         """Slice bands as (first_mb_row, n_rows). Multi-slice comes from
         cfg.slice_bands, or adaptively from desired_nalu_bytes (reference
         `src/h264-lab.h:6418-6424` splits by NALU size; we re-band using
-        the previous frame's size estimate)."""
+        the previous frame's size estimate). The count is snapped to a
+        divisor of mb_height so all bands are equal-height: equal bands
+        dispatch as ONE vmapped computation (mbscan.encode_frame_banded)
+        instead of a per-band loop."""
         cfg = self.config
         n = cfg.slice_bands
         nalu = run.desired_nalu_bytes or cfg.desired_nalu_bytes
         if nalu > 0 and self._last_frame_bytes:
             est = max(1, round(self._last_frame_bytes / nalu))
             n = max(n, min(est, cfg.mb_height))
-        n = min(n, cfg.mb_height)
-        base = cfg.mb_height // n
-        extra = cfg.mb_height % n
-        bands = []
-        row = 0
-        for i in range(n):
-            rows = base + (1 if i < extra else 0)
-            bands.append((row, rows))
-            row += rows
-        return bands
+        n = max(1, min(n, cfg.mb_height))
+        while cfg.mb_height % n:      # largest divisor <= requested count
+            n -= 1
+        rows = cfg.mb_height // n
+        return [(i * rows, rows) for i in range(n)]
 
     def _band_arrays(self, rows: int, slope: int = 2):
         """Cached (steps, avail_top, avail_left) for a band height."""
@@ -238,16 +237,16 @@ class H264Encoder:
         mbw = cfg.mb_width
         band_outs = []
         band_hdrs = []
-        for (row0, rows) in bands:
-            # intra 4x4's top-right dependency needs slope-2 diagonals;
-            # without it slope-1 halves the wavefront depth
-            steps, a_top, a_left = self._band_arrays(
-                rows, 2 if (enable_i4x4 or is_intra_frame) else 1)
-            sl = slice(row0 * mbw, (row0 + rows) * mbw)
+        n_bands = len(bands)
+        rows = bands[0][1]
+        # intra 4x4's top-right dependency needs slope-2 diagonals;
+        # without it slope-1 halves the wavefront depth
+        steps, a_top, a_left = self._band_arrays(
+            rows, 2 if (enable_i4x4 or is_intra_frame) else 1)
+        if n_bands == 1:
             if is_intra_frame:
                 out = mbscan.encode_intra_frame(
-                    jnp.asarray(ty[sl]), jnp.asarray(tu[sl]),
-                    jnp.asarray(tv[sl]),
+                    jnp.asarray(ty), jnp.asarray(tu), jnp.asarray(tv),
                     jnp.int32(qp), jnp.int32(qpc),
                     steps, a_top, a_left,
                     mbw, rows, enable_i4x4=True,
@@ -255,8 +254,7 @@ class H264Encoder:
             else:
                 ref = self._refs[max(lt_use, 0)]
                 out = mbscan.encode_frame(
-                    jnp.asarray(ty[sl]), jnp.asarray(tu[sl]),
-                    jnp.asarray(tv[sl]),
+                    jnp.asarray(ty), jnp.asarray(tu), jnp.asarray(tv),
                     ref["y_pad"], ref["u_pad"], ref["v_pad"],
                     ref["y4_pad"],
                     jnp.int32(qp), jnp.int32(qpc),
@@ -265,9 +263,40 @@ class H264Encoder:
                     enable_i4x4=enable_i4x4, enable_deblock=enable_deblock,
                     enable_partitions=enable_partitions,
                     enable_qpel=enable_qpel,
-                    mb_row_offset=jnp.int32(row0))
+                    mb_row_offset=jnp.int32(0))
             band_outs.append(out)
+        else:
+            # all bands in ONE vmapped dispatch (equal heights by _bands)
+            nmb_b = rows * mbw
+            by = jnp.asarray(ty).reshape(n_bands, nmb_b, 16, 16)
+            bu = jnp.asarray(tu).reshape(n_bands, nmb_b, 8, 8)
+            bv = jnp.asarray(tv).reshape(n_bands, nmb_b, 8, 8)
+            row0s = jnp.asarray(
+                np.arange(n_bands, dtype=np.int32) * rows)
+            if is_intra_frame:
+                dummy = jnp.zeros((8, 8), jnp.uint8)
+                bout = mbscan.encode_frame_banded(
+                    by, bu, bv, dummy, dummy, dummy, dummy,
+                    jnp.int32(qp), jnp.int32(qpc),
+                    steps, a_top, a_left, row0s,
+                    mbw, rows, has_inter=False, enable_i4x4=True,
+                    enable_deblock=enable_deblock)
+            else:
+                ref = self._refs[max(lt_use, 0)]
+                bout = mbscan.encode_frame_banded(
+                    by, bu, bv,
+                    ref["y_pad"], ref["u_pad"], ref["v_pad"],
+                    ref["y4_pad"],
+                    jnp.int32(qp), jnp.int32(qpc),
+                    steps, a_top, a_left, row0s,
+                    mbw, rows, has_inter=True,
+                    enable_i4x4=enable_i4x4, enable_deblock=enable_deblock,
+                    enable_partitions=enable_partitions,
+                    enable_qpel=enable_qpel)
+            band_outs = [{k: v[b] for k, v in bout.items()}
+                         for b in range(n_bands)]
 
+        for (row0, rows_b) in bands:
             bw = BitWriter(capacity=1 << 16)
             shp = headers.SliceHeaderParams(
                 slice_type=(headers.SLICE_TYPE_I if is_intra_frame
@@ -292,7 +321,7 @@ class H264Encoder:
         if len(band_outs) == 1:
             out = band_outs[0]
         else:
-            out = {k: jnp.concatenate([o[k] for o in band_outs])
+            out = {k: bout[k].reshape((-1,) + bout[k].shape[2:])
                    for k in ("recon_y", "recon_u", "recon_v",
                              "df_y", "df_u", "df_v")}
 
@@ -325,6 +354,7 @@ class H264Encoder:
         self._last_tiles = (out["df_y"], out["df_u"], out["df_v"])
 
         ft_name = "IDR" if is_idr else ("I" if is_intra_frame else "P")
+        self._in_flight += 1
         return PendingFrame(
             encoder=self, run=run, out=out, band_outs=band_outs,
             band_hdrs=band_hdrs, sps_pps=payload, qp=qp,
@@ -335,6 +365,7 @@ class H264Encoder:
         """Pack the dispatched frame into Annex-B bytes (host side)."""
         if isinstance(pending, FrameResult):
             return pending      # transparent frames are produced directly
+        self._in_flight -= 1
         cfg = self.config
         run = pending.run
         payload = pending.sps_pps
@@ -388,7 +419,14 @@ class H264Encoder:
     # dict: stream counters + RC state + reference pictures.
     def get_state(self) -> dict:
         """Snapshot of all mutable encoder state. Host numpy arrays only,
-        so the result pickles and survives process restarts."""
+        so the result pickles and survives process restarts. Must not be
+        called between encode_async() and finish(): stream counters are
+        already advanced but RC/VBV feedback is not, so a resumed stream
+        would diverge in bitrate/adaptive modes."""
+        if self._in_flight:
+            raise RuntimeError(
+                "get_state() with a frame in flight: call finish() on the "
+                "pending frame first")
         refs = {k: {n: np.asarray(a) for n, a in st.items()}
                 for k, st in self._refs.items()}
         return {
@@ -402,6 +440,8 @@ class H264Encoder:
             "force_transparent": self._force_transparent,
             "last_frame_bytes": self._last_frame_bytes,
             "refs": refs,
+            "last_tiles": (None if self._last_tiles is None else
+                           tuple(np.asarray(t) for t in self._last_tiles)),
             "denoise_prev": (None if self._denoise_prev is None else
                              tuple(np.asarray(p) for p in self._denoise_prev)),
             "rc": self.rc.get_state(),
@@ -423,6 +463,9 @@ class H264Encoder:
                       for k, s in st["refs"].items()}
         self._ref = (self._refs.get(self._most_recent_idx)
                      if self._refs else None)
+        lt = st.get("last_tiles")
+        self._last_tiles = (None if lt is None
+                            else tuple(jnp.asarray(t) for t in lt))
         self._denoise_prev = st["denoise_prev"]
         self.rc.set_state(st["rc"])
 

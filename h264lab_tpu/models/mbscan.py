@@ -28,8 +28,11 @@ MB selection encoding: sel 0 = inter, 1 = Intra_16x16, 2 = Intra_4x4.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from h264lab_tpu.ops import (cavlc, deblock, intra, intra4, me,
                              qpel, tables, transform)
@@ -492,24 +495,50 @@ def _frame_bs(sel, nnz_blk, mv4_y, mv4_x, avail_top, avail_left,
     return bs_v, bs_h
 
 
+@functools.lru_cache(maxsize=32)
+def _row_diag_plan(mb_width: int, mb_height: int):
+    """Row-indexed slope-1 diagonal plan for the deblock scan.
+
+    Step d, lane r processes MB (r, d - r). Lane index == MB row, so the
+    left neighbour (r, d-1-r) sits at lane r of the *previous* diagonal
+    and the top neighbour (r-1, d-r) at lane r-1 of the previous
+    diagonal — both become static slices of the carry, no gathers.
+    Returns (steps_by_row (n_steps+1, mbh) int32 with -1 fill, out_pos
+    (nmb,) int32): MB i is finalized at flattened ys position out_pos[i].
+    """
+    n_steps = mb_width + mb_height - 1
+    steps = np.full((n_steps + 1, mb_height), -1, dtype=np.int32)
+    out_pos = np.zeros((mb_width * mb_height,), dtype=np.int32)
+    for r in range(mb_height):
+        for c in range(mb_width):
+            steps[r + c, r] = r * mb_width + c
+            # finalized one step after its own (right+below edges settle)
+            out_pos[r * mb_width + c] = (r + c + 1) * mb_height + r
+    return steps, out_pos
+
+
 def deblock_frame(recon_y, recon_u, recon_v, sel, nnz_blk, mv4_y, mv4_x,
                   qp, qpc, avail_top, avail_left,
                   mb_width: int, mb_height: int):
-    """In-loop deblocking of one frame/slice as a dedicated wavefront:
-    bS precomputed in parallel, then a scan over slope-1 diagonals whose
-    only work is the edge filters (V then H per MB). Slope 1 reproduces
+    """In-loop deblocking of one frame/slice as a gather-free wavefront.
+
+    bS precomputed in parallel; the scan walks slope-1 diagonals with the
+    carry indexed *by MB row* (see _row_diag_plan), so every neighbour
+    access in the step body is a static slice/shift of a (mbh, ...)
+    buffer and finalized MBs leave through scan ys. Slope 1 reproduces
     raster-order spec semantics exactly *because* each step runs its V
     pass over the whole diagonal before its H pass: the one cross-MB
     raster dependency inside a diagonal — MB (r,c)'s top-edge H filter
     reading pixels written by MB (r-1,c+1)'s left-edge V filter — is
-    satisfied by the H pass re-reading the carry after the V-pass
-    scatters (verified against the scalar raster decoder filter in
+    satisfied by the H pass re-reading the carry after the V updates
+    (verified against the scalar raster decoder filter in
     tests/test_deblock_order.py). u and v are stacked through one
     filter call."""
-    from h264lab_tpu.models import wavefront
     nmb = mb_width * mb_height
-    plan = wavefront.make_plan(mb_width, mb_height, slope=1)
-    steps = jnp.asarray(plan.steps)
+    mbh = mb_height
+    steps_np, out_pos_np = _row_diag_plan(mb_width, mb_height)
+    steps = jnp.asarray(steps_np)
+    out_pos = jnp.asarray(out_pos_np)
     bs_v, bs_h = _frame_bs(sel, nnz_blk, mv4_y, mv4_x,
                            avail_top, avail_left, mb_width, mb_height)
     steps_w = jnp.where(steps < 0, nmb, steps)
@@ -518,80 +547,63 @@ def deblock_frame(recon_y, recon_u, recon_v, sel, nnz_blk, mv4_y, mv4_x,
         pad = jnp.full((1,) + x.shape[1:], fill, x.dtype)
         return jnp.concatenate([x, pad])[steps_w]
 
-    xs = dict(idx=steps,
-              bs_v=diag_order(bs_v), bs_h=diag_order(bs_h),
-              a_top=diag_order(avail_top, False),
-              a_left=diag_order(avail_left, False))
-
-    df_y0 = jnp.concatenate([recon_y, jnp.zeros((1, 16, 16), jnp.uint8)])
-    df_c0 = jnp.concatenate([
-        jnp.stack([recon_u, recon_v], axis=1),
-        jnp.zeros((1, 2, 8, 8), jnp.uint8)])
+    cur_c_all = jnp.stack([recon_u, recon_v], axis=1)     # (nmb, 2, 8, 8)
+    xs = dict(valid=steps >= 0,
+              cur_y=diag_order(recon_y).astype(jnp.int32),
+              cur_c=diag_order(cur_c_all).astype(jnp.int32),
+              bs_v=diag_order(bs_v), bs_h=diag_order(bs_h))
 
     def step(carry, xt):
-        df_y, df_c = carry
-        idx = xt["idx"]
-        mask = idx >= 0
-        ci = jnp.maximum(idx, 0)
-        r_i = ci // mb_width
-        c_i = ci % mb_width
-        li = jnp.maximum(ci - 1, 0)
-        ti = jnp.maximum(ci - mb_width, 0)
-        has_left = mask & (c_i > 0) & xt["a_left"]
-        has_top = mask & (r_i > 0) & xt["a_top"]
-        wi = jnp.where(mask, ci, nmb)
-        wl = jnp.where(has_left, li, nmb)
-        wt = jnp.where(has_top, ti, nmb)
+        P_y, P_c = carry                 # previous diagonal, by MB row
+        valid = xt["valid"][:, None, None]
+        cur_y = xt["cur_y"]
+        cur_c = xt["cur_c"]
         bs_v = xt["bs_v"]
         bs_h = xt["bs_h"]
 
-        # ---- luma vertical then horizontal ----
-        strip = jnp.concatenate(
-            [df_y[li].astype(jnp.int32), df_y[ci].astype(jnp.int32)], axis=2)
-        strip = deblock.filter_luma_v(strip, bs_v, qp)
-        df_y = df_y.at[wi].set(strip[:, :, 16:].astype(jnp.uint8),
-                               mode="drop")
-        df_y = df_y.at[wl, :, 12:16].set(
-            strip[:, :, 12:16].astype(jnp.uint8), mode="drop")
-        strip = jnp.concatenate(
-            [df_y[ti].astype(jnp.int32), df_y[ci].astype(jnp.int32)], axis=1)
-        strip = deblock.filter_luma_h(strip, bs_h, qp)
-        df_y = df_y.at[wi].set(strip[:, 16:, :].astype(jnp.uint8),
-                               mode="drop")
-        df_y = df_y.at[wt, 12:16, :].set(
-            strip[:, 12:16, :].astype(jnp.uint8), mode="drop")
+        # ---- luma V: 4 left cols from the left neighbour (lane r) ----
+        strip = jnp.concatenate([P_y[:, :, 12:16], cur_y], axis=2)
+        strip = deblock.filter_luma_v(strip, bs_v, qp, edge_x0=4)
+        P_y = jnp.where(valid, P_y.at[:, :, 13:16].set(strip[:, :, 1:4]),
+                        P_y)
+        cur_y = strip[:, :, 4:20]
+        # ---- luma H: 4 top rows from the top neighbour (lane r-1) ----
+        P_y_up = jnp.concatenate([jnp.zeros_like(P_y[:1]), P_y[:-1]])
+        strip = jnp.concatenate([P_y_up[:, 12:16, :], cur_y], axis=1)
+        strip = deblock.filter_luma_h(strip, bs_h, qp, edge_y0=4)
+        upd = jnp.concatenate([strip[1:, 1:4, :],
+                               jnp.zeros_like(strip[:1, 1:4, :])])
+        vshift = jnp.concatenate([xt["valid"][1:], jnp.zeros((1,), bool)])
+        P_y = jnp.where(vshift[:, None, None],
+                        P_y.at[:, 13:16, :].set(upd), P_y)
+        cur_y = strip[:, 4:20, :]
 
         # ---- chroma (u, v stacked on a plane axis) ----
-        bs_v2 = jnp.concatenate([bs_v, bs_v])
-        bs_h2 = jnp.concatenate([bs_h, bs_h])
+        strip = jnp.concatenate([P_c[:, :, :, 6:8], cur_c], axis=3)
+        strip = deblock.filter_chroma_v(strip, bs_v, qpc, edge_x0=2)
+        P_c = jnp.where(valid[:, None], P_c.at[:, :, :, 7:8].set(
+            strip[:, :, :, 1:2]), P_c)
+        cur_c = strip[:, :, :, 2:10]
+        P_c_up = jnp.concatenate([jnp.zeros_like(P_c[:1]), P_c[:-1]])
+        strip = jnp.concatenate([P_c_up[:, :, 6:8, :], cur_c], axis=2)
+        strip = deblock.filter_chroma_h(strip, bs_h, qpc, edge_y0=2)
+        updc = jnp.concatenate([strip[1:, :, 1:2, :],
+                                jnp.zeros_like(strip[:1, :, 1:2, :])])
+        P_c = jnp.where(vshift[:, None, None, None],
+                        P_c.at[:, :, 7:8, :].set(updc), P_c)
+        cur_c = strip[:, :, 2:10, :]
 
-        def flat(x):          # (k, 2, h, w) -> (2k, h, w), planes major
-            return jnp.concatenate([x[:, 0], x[:, 1]])
+        ys = dict(y=P_y.astype(jnp.uint8), c=P_c.astype(jnp.uint8))
+        return (cur_y, cur_c), ys
 
-        def unflat(x, k):
-            return jnp.stack([x[:k], x[k:]], axis=1)
+    P0 = (jnp.zeros((mbh, 16, 16), jnp.int32),
+          jnp.zeros((mbh, 2, 8, 8), jnp.int32))
+    _, ys = jax.lax.scan(step, P0, xs)
 
-        k = ci.shape[0]
-        strip = jnp.concatenate(
-            [flat(df_c[li]).astype(jnp.int32),
-             flat(df_c[ci]).astype(jnp.int32)], axis=2)
-        strip = deblock.filter_chroma_v(strip, bs_v2, qpc)
-        df_c = df_c.at[wi].set(unflat(strip[:, :, 8:].astype(jnp.uint8), k),
-                               mode="drop")
-        df_c = df_c.at[wl, :, :, 6:8].set(
-            unflat(strip[:, :, 6:8].astype(jnp.uint8), k), mode="drop")
-        strip = jnp.concatenate(
-            [flat(df_c[ti]).astype(jnp.int32),
-             flat(df_c[ci]).astype(jnp.int32)], axis=1)
-        strip = deblock.filter_chroma_h(strip, bs_h2, qpc)
-        df_c = df_c.at[wi].set(unflat(strip[:, 8:, :].astype(jnp.uint8), k),
-                               mode="drop")
-        df_c = df_c.at[wt, :, 6:8, :].set(
-            unflat(strip[:, 6:8, :].astype(jnp.uint8), k), mode="drop")
-        return (df_y, df_c), None
-
-    (df_y, df_c), _ = jax.lax.scan(step, (df_y0, df_c0), xs)
-    return df_y[:nmb], df_c[:nmb, 0], df_c[:nmb, 1]
+    n_total = steps.shape[0]
+    df_y = ys["y"].reshape(n_total * mbh, 16, 16)[out_pos]
+    df_c = ys["c"].reshape(n_total * mbh, 2, 8, 8)[out_pos]
+    return df_y, df_c[:, 0], df_c[:, 1]
 
 
 # ---------------------------------------------------------------------------
@@ -820,30 +832,30 @@ def symbolize(sel, mode16, cmode, i4modes, i4sym_v, i4sym_l,
     dc_vals, dc_lens, _ = cavlc.encode_blocks(dc_scan, nc_luma[:, 0, 0], 16)
     dc_lens = jnp.where(is_i16[:, None], dc_lens, 0)
 
-    # luma AC-15 view (i16)
-    aci = ac_lev.reshape(nmb * 16, 16)[:, _ZZ][:, 1:]
-    aci = jnp.pad(aci, ((0, 0), (0, 1)))
-    vi, li, _ = cavlc.encode_blocks(aci, nc_luma.reshape(nmb * 16), 15)
-    vi = vi.reshape(nmb, 16, ns)
-    li = li.reshape(nmb, 16, ns)
-    li = jnp.where((is_i16 & cbpl_i16)[:, None, None], li, 0)
-
-    # luma full-16 view (inter + i4)
+    # luma: one CAVLC pass over all blocks — i16 MBs contribute their
+    # AC-15 view (zig-zag 1..15 shifted into slots 0..14), others the
+    # full 16-coefficient view; per-block max_coeff picks the syntax
     full_lev = jnp.where(is_inter[:, None, None, None, None],
                          lev_inter, ac_lev)
     acn = full_lev.reshape(nmb * 16, 16)[:, _ZZ]
-    vn, ln, _ = cavlc.encode_blocks(acn, nc_luma.reshape(nmb * 16), 16)
-    vn = vn.reshape(nmb, 16, ns)
-    ln = ln.reshape(nmb, 16, ns)
+    aci = ac_lev.reshape(nmb * 16, 16)[:, _ZZ]
+    aci = jnp.concatenate([aci[:, 1:], jnp.zeros((nmb * 16, 1), aci.dtype)],
+                          axis=1)
+    i16_blk = jnp.repeat(is_i16, 16)
+    scan_lv = jnp.where(i16_blk[:, None], aci, acn)
+    mc_blk = jnp.where(i16_blk, 15, 16)
+    vv, ll, _ = cavlc.encode_blocks(scan_lv, nc_luma.reshape(nmb * 16),
+                                    mc_blk)
+    luma_vals = vv.reshape(nmb, 16, ns)
+    ll = ll.reshape(nmb, 16, ns)
     bb = jnp.arange(16) // 4
     bc = jnp.arange(16) % 4
     grp_of_block = (bb // 2) * 2 + (bc // 2)
     bit = (cbp_luma[:, None] >> grp_of_block[None, :]) & 1
-    ln = jnp.where(((is_inter | is_i4) & coded)[:, None, None]
-                   & (bit > 0)[:, :, None], ln, 0)
-
-    luma_vals = jnp.where(is_i16[:, None, None], vi, vn)
-    luma_lens = jnp.where(is_i16[:, None, None], li, ln)
+    blk_coded = jnp.where(
+        is_i16[:, None], cbpl_i16[:, None],
+        (coded & (is_inter | is_i4))[:, None] & (bit > 0))
+    luma_lens = jnp.where(blk_coded[:, :, None], ll, 0)
 
     # chroma DC
     cdc_scan = cdc_lev.reshape(nmb * 2, 4)
@@ -959,6 +971,43 @@ def symbolize(sel, mode16, cmode, i4modes, i4sym_v, i4sym_l,
 encode_frame = jax.jit(
     encode_frame_core,
     static_argnames=("mb_width", "mb_height", "has_inter", "enable_i4x4",
+                     "enable_deblock", "enable_partitions", "enable_qpel"))
+
+
+def encode_frame_banded_core(src_y, src_u, src_v,
+                             ref_y_pad, ref_u_pad, ref_v_pad, ref4_pad,
+                             qp, qpc, steps, avail_top, avail_left, row0s,
+                             mb_width: int, band_rows: int,
+                             has_inter: bool, enable_i4x4: bool,
+                             enable_deblock: bool = False,
+                             enable_partitions: bool = False,
+                             enable_qpel: bool = True):
+    """Encode B equal-height slice bands of one frame in a single
+    dispatch: `jax.vmap` over the band axis turns each wavefront step
+    into a (B, k)-wide batch, and under a `("band",)`-sharded mesh the
+    band axis partitions across chips — the TPU-native form of the
+    reference's slice-thread fan-out (`src/h264-lab.h:6511-6574`).
+
+    src_*: (B, nmb_band, 16, 16)/(B, nmb_band, 8, 8); row0s: (B,) first
+    MB row of each band; reference planes are full-frame (replicated
+    across chips — motion vectors may cross band borders).
+    """
+    f = functools.partial(
+        encode_frame_core,
+        mb_width=mb_width, mb_height=band_rows, has_inter=has_inter,
+        enable_i4x4=enable_i4x4, enable_deblock=enable_deblock,
+        enable_partitions=enable_partitions, enable_qpel=enable_qpel)
+
+    def one(sy, su, sv, r0):
+        return f(sy, su, sv, ref_y_pad, ref_u_pad, ref_v_pad, ref4_pad,
+                 qp, qpc, steps, avail_top, avail_left, mb_row_offset=r0)
+
+    return jax.vmap(one)(src_y, src_u, src_v, row0s)
+
+
+encode_frame_banded = jax.jit(
+    encode_frame_banded_core,
+    static_argnames=("mb_width", "band_rows", "has_inter", "enable_i4x4",
                      "enable_deblock", "enable_partitions", "enable_qpel"))
 
 

@@ -92,7 +92,7 @@ def _level_code_bits(level_code: jnp.ndarray, sl: jnp.ndarray):
     return val.astype(jnp.uint32), nbits.astype(jnp.int32)
 
 
-def encode_blocks(levels: jnp.ndarray, nc: jnp.ndarray, max_coeff: int):
+def encode_blocks(levels: jnp.ndarray, nc: jnp.ndarray, max_coeff):
     """CAVLC-encode a batch of blocks.
 
     Args:
@@ -100,7 +100,9 @@ def encode_blocks(levels: jnp.ndarray, nc: jnp.ndarray, max_coeff: int):
         blocks pass the AC coefficients in slots 0..14 (slot 15 zero);
         for chroma DC pass 4 values in slots 0..3.
       nc: (n,) int32 nC context (-1 for chroma DC).
-      max_coeff: 16, 15 or 4 (static).
+      max_coeff: 16, 15 or 4 — a static int or a per-block (n,) array
+        (mixing 15- and 16-coefficient blocks in one call; both use the
+        same total_zeros tables per spec 9.2.3).
 
     Returns:
       vals (n, 34) uint32, lens (n, 34) int32, total_coeff (n,) int32.
@@ -108,19 +110,28 @@ def encode_blocks(levels: jnp.ndarray, nc: jnp.ndarray, max_coeff: int):
     n = levels.shape[0]
     levels = levels.astype(jnp.int32)
     scan_pos = jnp.arange(16, dtype=jnp.int32)
-    valid = scan_pos < max_coeff
-    lv = jnp.where(valid[None, :], levels, 0)
+    if isinstance(max_coeff, int):
+        valid = jnp.broadcast_to(scan_pos < max_coeff, levels.shape)
+        mc = jnp.full((n,), max_coeff, jnp.int32)
+    else:
+        mc = max_coeff.astype(jnp.int32)
+        valid = scan_pos[None, :] < mc[:, None]
+    lv = jnp.where(valid, levels, 0)
 
     nonzero = lv != 0
     total = jnp.sum(nonzero, axis=1).astype(jnp.int32)           # TotalCoeff
 
-    # Dense gather of nonzero coeffs in REVERSE scan order:
-    # sort key: nonzero -> -pos (desc pos first), zero -> +inf
-    key = jnp.where(nonzero, -scan_pos[None, :], 1000)
-    order = jnp.argsort(key, axis=1)                              # (n, 16)
-    lev = jnp.take_along_axis(lv, order, axis=1)                  # coeff k
-    pos = jnp.take_along_axis(
-        jnp.broadcast_to(scan_pos[None, :], lv.shape), order, axis=1)
+    # Compact nonzero coeffs in REVERSE scan order without sort/gather:
+    # rank[p] = number of nonzeros at scan positions > p; for a nonzero
+    # at p, rank is its reverse-order index k. The compaction is then a
+    # masked one-hot reduction (VPU-friendly; elementwise gathers are
+    # scalar-core-bound on TPU).
+    nz_i = nonzero.astype(jnp.int32)
+    rank = (jnp.cumsum(nz_i[:, ::-1], axis=1)[:, ::-1] - nz_i)    # (n, 16)
+    onehot = (jnp.where(nonzero, rank, -1)[:, None, :]
+              == scan_pos[None, :, None])                         # (n,16,16)
+    lev = jnp.sum(jnp.where(onehot, lv[:, None, :], 0), axis=2)
+    pos = jnp.sum(jnp.where(onehot, scan_pos[None, None, :], 0), axis=2)
     k_idx = jnp.broadcast_to(scan_pos[None, :], lv.shape)
     k_valid = k_idx < total[:, None]
 
@@ -170,13 +181,13 @@ def encode_blocks(levels: jnp.ndarray, nc: jnp.ndarray, max_coeff: int):
     # ---- total_zeros ------------------------------------------------------
     highest_pos = pos[:, 0]                       # scan index of last nonzero
     total_zeros = jnp.where(total > 0, highest_pos + 1 - total, 0)
-    if max_coeff == 4:
+    if isinstance(max_coeff, int) and max_coeff == 4:
         tz_val = _CZ_VAL[jnp.minimum(total, 3), jnp.minimum(total_zeros, 3)]
         tz_len = _CZ_LEN[jnp.minimum(total, 3), jnp.minimum(total_zeros, 3)]
     else:
         tz_val = _TZ_VAL[jnp.minimum(total, 15), total_zeros]
         tz_len = _TZ_LEN[jnp.minimum(total, 15), total_zeros]
-    has_tz = (total > 0) & (total < max_coeff)
+    has_tz = (total > 0) & (total < mc)
     tz_val = jnp.where(has_tz, tz_val, 0).astype(jnp.uint32)
     tz_len = jnp.where(has_tz, tz_len, 0)
 

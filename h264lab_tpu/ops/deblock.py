@@ -54,19 +54,20 @@ def mb_edge_bs(intra_p, intra_q, nnz_p, nnz_q, mv_py, mv_px, mv_qy, mv_qx,
 
 
 def _filter_luma_cols(strip, x, bs_rows, alpha, beta, tc0_rows):
-    """Filter one vertical luma edge at column x of (k, 16, W) strips.
+    """Filter one vertical luma edge at column x (last axis) of
+    (..., 16, W) strips.
 
-    bs_rows/tc0_rows: (k, 16) per-row strength / tc0 (already expanded
-    from per-4-row groups). alpha/beta: scalars or (k, 1).
+    bs_rows/tc0_rows: (..., 16) per-row strength / tc0 (already expanded
+    from per-4-row groups). alpha/beta: scalars.
     """
-    p3 = strip[:, :, x - 4]
-    p2 = strip[:, :, x - 3]
-    p1 = strip[:, :, x - 2]
-    p0 = strip[:, :, x - 1]
-    q0 = strip[:, :, x]
-    q1 = strip[:, :, x + 1]
-    q2 = strip[:, :, x + 2]
-    q3 = strip[:, :, x + 3]
+    p3 = strip[..., x - 4]
+    p2 = strip[..., x - 3]
+    p1 = strip[..., x - 2]
+    p0 = strip[..., x - 1]
+    q0 = strip[..., x]
+    q1 = strip[..., x + 1]
+    q2 = strip[..., x + 2]
+    q3 = strip[..., x + 3]
 
     filt = ((bs_rows > 0) & (jnp.abs(p0 - q0) < alpha)
             & (jnp.abs(p1 - p0) < beta) & (jnp.abs(q1 - q0) < beta))
@@ -112,21 +113,22 @@ def _filter_luma_cols(strip, x, bs_rows, alpha, beta, tc0_rows):
     f_q1 = jnp.where(filt & ~is4, nq1, jnp.where(filt & is4, s_q1, q1))
     f_q2 = jnp.where(filt & is4, s_q2, q2)
 
-    strip = strip.at[:, :, x - 3].set(f_p2)
-    strip = strip.at[:, :, x - 2].set(f_p1)
-    strip = strip.at[:, :, x - 1].set(f_p0)
-    strip = strip.at[:, :, x].set(f_q0)
-    strip = strip.at[:, :, x + 1].set(f_q1)
-    strip = strip.at[:, :, x + 2].set(f_q2)
+    strip = strip.at[..., x - 3].set(f_p2)
+    strip = strip.at[..., x - 2].set(f_p1)
+    strip = strip.at[..., x - 1].set(f_p0)
+    strip = strip.at[..., x].set(f_q0)
+    strip = strip.at[..., x + 1].set(f_q1)
+    strip = strip.at[..., x + 2].set(f_q2)
     return strip
 
 
 def _filter_chroma_cols(strip, x, bs_rows, alpha, beta, tc0_rows):
-    """Filter one vertical chroma edge at column x of (k, 8, W) strips."""
-    p1 = strip[:, :, x - 2]
-    p0 = strip[:, :, x - 1]
-    q0 = strip[:, :, x]
-    q1 = strip[:, :, x + 1]
+    """Filter one vertical chroma edge at column x (last axis) of
+    (..., 8, W) strips."""
+    p1 = strip[..., x - 2]
+    p0 = strip[..., x - 1]
+    q0 = strip[..., x]
+    q1 = strip[..., x + 1]
     filt = ((bs_rows > 0) & (jnp.abs(p0 - q0) < alpha)
             & (jnp.abs(p1 - p0) < beta) & (jnp.abs(q1 - q0) < beta))
     tc = tc0_rows + 1
@@ -138,8 +140,8 @@ def _filter_chroma_cols(strip, x, bs_rows, alpha, beta, tc0_rows):
     is4 = bs_rows == 4
     f_p0 = jnp.where(filt, jnp.where(is4, s_p0, np0), p0)
     f_q0 = jnp.where(filt, jnp.where(is4, s_q0, nq0), q0)
-    strip = strip.at[:, :, x - 1].set(f_p0)
-    strip = strip.at[:, :, x].set(f_q0)
+    strip = strip.at[..., x - 1].set(f_p0)
+    strip = strip.at[..., x].set(f_q0)
     return strip
 
 
@@ -148,39 +150,47 @@ def expand_groups(bs_groups, reps: int):
     return jnp.repeat(bs_groups, reps, axis=1)
 
 
-def filter_luma_v(strip, bs_edges, qp):
-    """Vertical edges of one MB batch. strip (k, 16, 32): cols 0..15 =
-    left MB, 16..31 = current. bs_edges (k, 4, 4): per edge e (x=16+4e),
-    per 4-row group. Returns filtered strip."""
+def filter_luma_v(strip, bs_edges, qp, edge_x0: int = 16):
+    """Vertical edges of one MB batch. strip (k, 16, W): the current MB's
+    leftmost column sits at `edge_x0` (columns edge_x0-4..edge_x0-1 come
+    from the left neighbour). bs_edges (k, 4, 4): per edge e
+    (x = edge_x0 + 4e), per 4-row group. Returns filtered strip."""
     alpha, beta = thresholds(qp)
     for e in range(4):
         bs = expand_groups(bs_edges[:, e], 4)
         tc0 = tc0_for(qp, bs)
-        strip = _filter_luma_cols(strip, 16 + 4 * e, bs, alpha, beta, tc0)
+        strip = _filter_luma_cols(strip, edge_x0 + 4 * e, bs,
+                                  alpha, beta, tc0)
     return strip
 
 
-def filter_luma_h(strip, bs_edges, qp):
-    """Horizontal edges: strip (k, 32, 16) with rows 0..15 = top MB.
-    Filter via transpose reuse."""
+def filter_luma_h(strip, bs_edges, qp, edge_y0: int = 16):
+    """Horizontal edges: strip (k, H, 16) with the current MB's top row at
+    `edge_y0`. Filter via transpose reuse."""
     stripT = jnp.swapaxes(strip, 1, 2)
-    stripT = filter_luma_v(stripT, bs_edges, qp)
+    stripT = filter_luma_v(stripT, bs_edges, qp, edge_x0=edge_y0)
     return jnp.swapaxes(stripT, 1, 2)
 
 
-def filter_chroma_v(strip, bs_edges, qpc):
-    """Chroma vertical edges: strip (k, 8, 16): cols 0..7 left MB, 8..15
-    current. Two edges (x=8, 12) using luma edge groups 0 and 2; bs rows
-    expanded from 4 luma row-groups to 8 chroma rows (2 each)."""
+def filter_chroma_v(strip, bs_edges, qpc, edge_x0: int = 8):
+    """Chroma vertical edges: strip (..., 8, W) with the current MB's
+    leftmost chroma column at `edge_x0` (the two columns before it come
+    from the left neighbour). Two edges (x = edge_x0, edge_x0+4) using
+    luma edge groups 0 and 2; bs rows expanded from 4 luma row-groups to
+    8 chroma rows (2 each). Leading axes broadcast, so (k, 2, 8, W)
+    filters u and v in one call."""
     alpha, beta = thresholds(qpc)
+    extra = strip.ndim - 3
     for ci, e in enumerate((0, 2)):
         bs = expand_groups(bs_edges[:, e], 2)
+        bs = bs.reshape(bs.shape[:1] + (1,) * extra + bs.shape[1:])
         tc0 = tc0_for(qpc, bs)
-        strip = _filter_chroma_cols(strip, 8 + 4 * ci, bs, alpha, beta, tc0)
+        strip = _filter_chroma_cols(strip, edge_x0 + 4 * ci, bs,
+                                    alpha, beta, tc0)
     return strip
 
 
-def filter_chroma_h(strip, bs_edges, qpc):
-    stripT = jnp.swapaxes(strip, 1, 2)
-    stripT = filter_chroma_v(stripT, bs_edges, qpc)
-    return jnp.swapaxes(stripT, 1, 2)
+def filter_chroma_h(strip, bs_edges, qpc, edge_y0: int = 8):
+    stripT = jnp.swapaxes(strip, -1, -2)
+    stripT = filter_chroma_v(stripT, bs_edges, qpc, edge_x0=edge_y0)
+    return jnp.swapaxes(stripT, -1, -2)

@@ -80,27 +80,35 @@ def coarse_search_4x(cur4, ref4_pad, lam, mb_height: int, mb_width: int,
     side = 2 * radius + 1
     mvp_y2 = mvp_y.reshape(mb_height, mb_width)
     mvp_x2 = mvp_x.reshape(mb_height, mb_width)
+    dx_all = jnp.arange(-radius, radius + 1, dtype=jnp.int32)
+    dx_bits = lam * mv_bits(dx_all[:, None, None] * 16
+                            - mvp_x2[None])            # (side, mbh, mbw)
 
     def body(i, st):
+        """One dy row: all `side` dx shifts evaluated as a batch (the dx
+        axis becomes a leading tensor dim, so the loop is `side` rather
+        than `side**2` iterations — the sweep is bandwidth-bound)."""
         best_cost, best_dy, best_dx = st
-        dy = i // side - radius
-        dx = i % side - radius
-        sub = jax.lax.dynamic_slice(
-            ref4_pad, (g4 + row_offset * 4 + dy, g4 + dx),
-            (H4, W4)).astype(jnp.int32)
-        sad = (jnp.abs(cur - sub)
-               .reshape(mb_height, 4, mb_width, 4).sum(axis=(1, 3)))
-        cost = sad * 16 + lam * (mv_bits(dy * 16 - mvp_y2)
-                                 + mv_bits(dx * 16 - mvp_x2))
-        upd = cost < best_cost
-        return (jnp.where(upd, cost, best_cost),
+        dy = i - radius
+        row = jax.lax.dynamic_slice(
+            ref4_pad, (g4 + row_offset * 4 + dy, g4 - radius),
+            (H4, W4 + 2 * radius)).astype(jnp.int32)
+        subs = jnp.stack([row[:, s:s + W4] for s in range(side)])
+        sad = (jnp.abs(cur[None] - subs)
+               .reshape(side, mb_height, 4, mb_width, 4).sum(axis=(2, 4)))
+        cost = sad * 16 + lam * mv_bits(dy * 16 - mvp_y2)[None] + dx_bits
+        k = jnp.argmin(cost.reshape(side, -1), axis=0)
+        cmin = jnp.min(cost, axis=0)
+        upd = cmin < best_cost
+        return (jnp.where(upd, cmin, best_cost),
                 jnp.where(upd, dy, best_dy),
-                jnp.where(upd, dx, best_dx))
+                jnp.where(upd, k.reshape(mb_height, mb_width) - radius,
+                          best_dx))
 
     shape = (mb_height, mb_width)
     init = (jnp.full(shape, 1 << 30, jnp.int32),
             jnp.zeros(shape, jnp.int32), jnp.zeros(shape, jnp.int32))
-    _, dy, dx = jax.lax.fori_loop(0, side * side, body, init)
+    _, dy, dx = jax.lax.fori_loop(0, side, body, init)
     return dy.reshape(-1), dx.reshape(-1)
 
 

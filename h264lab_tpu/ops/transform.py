@@ -113,17 +113,20 @@ def quant4x4(coef: jnp.ndarray, qp, deadzone_q8) -> jnp.ndarray:
     f = deadzone_q8/256 * 2^(15+qp//6). `qp` and `deadzone_q8` broadcast
     against the block batch (scalars or per-block arrays).
     """
+    # int32 throughout (TPU has no native int64): |coef| <= 255*36 < 2^14
+    # (worst-case residual +-255 through the gain-6-per-1D core transform),
+    # MF <= 13107 < 2^14, so |coef|*MF < 2^28; f = dz << (qbits-8) <= 2^23.
     coef = coef.astype(jnp.int32)
     qp = jnp.asarray(qp, jnp.int32)
     div6 = qp // 6
     mod6 = qp % 6
     mf = _MF[mod6][..., _POS]          # (..., 4, 4) via class gather
     qbits = 15 + div6
-    f = (jnp.asarray(deadzone_q8, jnp.int32).astype(jnp.int64) << qbits[...]) >> 8
+    f = jnp.asarray(deadzone_q8, jnp.int32) << (qbits - 8)
     mf = jnp.broadcast_to(mf, coef.shape)
     qbits = jnp.broadcast_to(qbits[..., None, None], coef.shape)
     f = jnp.broadcast_to(f[..., None, None], coef.shape)
-    mag = (jnp.abs(coef.astype(jnp.int64)) * mf + f) >> qbits
+    mag = (jnp.abs(coef) * mf + f) >> qbits
     return (jnp.sign(coef) * mag).astype(jnp.int32)
 
 
@@ -151,15 +154,17 @@ def quant_luma_dc(dc: jnp.ndarray, qp) -> jnp.ndarray:
     deadzone on DC, matching the reference `src/h264-lab.h:2344-2349`).
     Input/output (..., 4, 4).
     """
+    # int32 safe: |hadamard(dc)| <= 16*4080 = 65280 < 2^17, MF00 <= 13107
+    # < 2^14 -> product < 2^30.7; rnd <= 2^24.
     f = hadamard4x4(dc)
     qp = jnp.asarray(qp, jnp.int32)
     mf00 = _MF[qp % 6, 0]
     qbits = 17 + qp // 6
-    rnd = jnp.int64(1) << (qbits - 1)
+    rnd = jnp.int32(1) << (qbits - 1)
     qbits = jnp.broadcast_to(qbits[..., None, None], f.shape)
     rnd = jnp.broadcast_to(rnd[..., None, None], f.shape)
     mf00 = jnp.broadcast_to(mf00[..., None, None], f.shape)
-    mag = (jnp.abs(f.astype(jnp.int64)) * mf00 + rnd) >> qbits
+    mag = (jnp.abs(f) * mf00 + rnd) >> qbits
     return (jnp.sign(f) * mag).astype(jnp.int32)
 
 
@@ -187,12 +192,13 @@ def dequant_luma_dc(level: jnp.ndarray, qp) -> jnp.ndarray:
 def quant_chroma_dc(dc: jnp.ndarray, qpc) -> jnp.ndarray:
     """Forward: 2x2 Hadamard then quantize with doubled step (rounding 1/2).
     Input/output (..., 2, 2)."""
+    # int32 safe: |hadamard2(dc)| <= 4*4080 < 2^15, MF00 < 2^14.
     f = hadamard2x2(dc)
     qpc = jnp.asarray(qpc, jnp.int32)
     mf00 = _MF[qpc % 6, 0]
     qbits = 16 + qpc // 6
-    rnd = jnp.int64(1) << (qbits - 1)
-    mag = (jnp.abs(f.astype(jnp.int64)) * mf00[..., None, None]
+    rnd = jnp.int32(1) << (qbits - 1)
+    mag = (jnp.abs(f) * mf00[..., None, None]
            + rnd[..., None, None]) >> qbits[..., None, None]
     return (jnp.sign(f) * mag).astype(jnp.int32)
 

@@ -1,0 +1,320 @@
+"""GOP-parallel × band-parallel encoding over a device mesh.
+
+The TPU-native scale-out of the reference's two parallel axes
+(SURVEY.md §2.2): slice-thread fan-out (`src/h264-lab.h:6511-6574`)
+becomes the "band" mesh axis (each band an independent slice), and
+multi-host GOP/frame data parallelism becomes the "gop" axis: G
+independent GOP lanes advance in lockstep, each lane encoding one frame
+per step against its own reference picture. Closed GOPs (IDR-separated)
+make the lanes fully independent, so the whole step is one SPMD program:
+zero cross-device collectives except the per-lane band→reference
+all-gather that XLA inserts when bands are sharded (motion vectors read
+the full reference picture).
+
+Entropy coding and bit packing run on device per (gop, band) shard —
+only packed words cross to the host, which stitches NALUs in order
+(the analog of the ordered concat at `src/h264-lab.h:6563-6567`).
+
+With fixed QP, a stream encoded GOP-parallel is bit-identical to the
+same stream encoded sequentially: the lanes only reorder *work*, not
+syntax. `encode_stream` demonstrates that driver pattern.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from h264lab_tpu.bitstream import BitWriter, headers
+from h264lab_tpu.bitstream.nal import annexb_nal
+from h264lab_tpu.config import EncoderConfig, RunConfig
+from h264lab_tpu.models import mbscan, refstate, wavefront
+from h264lab_tpu.models.encoder import PIC_INIT_QP, FrameResult
+from h264lab_tpu.ops import bitpack, tables
+from h264lab_tpu.rc.ratecontrol import RateControl
+
+# worst-case packed words per MB: spec 7.4.5 caps macroblock_layer() at
+# 3200 bits; 128 words = 4096 bits of headroom
+WORDS_PER_MB = 128
+
+
+def make_mesh(n_gop: int, n_band: int, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    assert n_gop * n_band <= len(devices), (
+        f"mesh {n_gop}x{n_band} needs {n_gop * n_band} devices, "
+        f"have {len(devices)}")
+    dev = np.array(devices[:n_gop * n_band]).reshape(n_gop, n_band)
+    return Mesh(dev, axis_names=("gop", "band"))
+
+
+def _gop_banded_core(src_y, src_u, src_v, refs, qp, qpc,
+                     steps, avail_top, avail_left, row0s,
+                     mb_width: int, band_rows: int, n_bands: int,
+                     has_inter: bool, enable_i4x4: bool,
+                     enable_deblock: bool, enable_partitions: bool,
+                     enable_qpel: bool, cap_words: int):
+    """One encode step for (G gop-lanes × B bands): banded encode per
+    lane, device-side bit packing per (lane, band). src_*: (G, B, nmb_b,
+    ...); refs: per-lane reference pytree with leading G (or None for
+    intra); qp/qpc: (G,). Returns the batched out dict + packed words."""
+
+    def one_lane(sy, su, sv, ref, qp_l, qpc_l):
+        if ref is None:
+            dummy = jnp.zeros((8, 8), jnp.uint8)
+            ry = ru = rv = r4 = dummy
+        else:
+            ry, ru, rv, r4 = (ref["y_pad"], ref["u_pad"], ref["v_pad"],
+                              ref["y4_pad"])
+        out = mbscan.encode_frame_banded_core(
+            sy, su, sv, ry, ru, rv, r4, qp_l, qpc_l,
+            steps, avail_top, avail_left, row0s,
+            mb_width=mb_width, band_rows=band_rows,
+            has_inter=has_inter, enable_i4x4=enable_i4x4,
+            enable_deblock=enable_deblock,
+            enable_partitions=enable_partitions, enable_qpel=enable_qpel)
+        # pack each band's symbol stream on device
+        words, nbits = jax.vmap(
+            lambda v, l: bitpack.pack_bits_device(v, l, cap_words))(
+                out["sym_vals"], out["sym_lens"])
+        # per-lane reference state from the full-frame deblocked recon
+        nmb = n_bands * band_rows * mb_width
+        df_y = out["df_y"].reshape(nmb, 16, 16)
+        df_u = out["df_u"].reshape(nmb, 8, 8)
+        df_v = out["df_v"].reshape(nmb, 8, 8)
+        new_ref = refstate.prepare_reference(
+            df_y, df_u, df_v, mb_width, band_rows * n_bands)
+        return dict(words=words, nbits=nbits, total_bits=out["total_bits"],
+                    df_y=df_y, df_u=df_u, df_v=df_v), new_ref
+
+    in_axes = (0, 0, 0, None if refs is None else 0, 0, 0)
+    return jax.vmap(one_lane, in_axes=in_axes)(
+        src_y, src_u, src_v, refs, qp, qpc)
+
+
+_gop_banded = jax.jit(
+    _gop_banded_core,
+    static_argnames=("mb_width", "band_rows", "n_bands", "has_inter",
+                     "enable_i4x4", "enable_deblock", "enable_partitions",
+                     "enable_qpel", "cap_words"))
+
+
+@dataclasses.dataclass
+class _PendingStep:
+    out: dict
+    qps: list
+    is_idr: bool
+    run: RunConfig
+    n_bands: int
+
+
+class GopBandEncoder:
+    """G lockstep GOP lanes × B slice bands in one sharded dispatch.
+
+    Every lane is an independent H.264 stream segment (closed GOPs): lane
+    g encodes GOP g of a source stream, or independent streams entirely.
+    All lanes share the frame schedule (IDR at step 0 and every `gop`
+    steps) but carry their own rate-control state and reference pictures.
+
+    With `mesh`, inputs are placed with ("gop", "band") shardings and the
+    step partitions across the mesh; without, the same batched program
+    runs on one device (filling the chip with G×B-wide wavefronts).
+    """
+
+    def __init__(self, config: EncoderConfig, n_gop: int | None = None,
+                 mesh: Mesh | None = None, idr_pic_id_base: int = 0):
+        cfg = config
+        self.config = cfg
+        self.n_gop = n_gop = (cfg.gop_parallel if n_gop is None else n_gop)
+        self.mesh = mesh
+        # lane g's IDRs use idr_pic_id (base + g) mod 16, matching the
+        # sequential encoder's one-per-IDR increment so GOP-parallel
+        # output is bit-identical to sequential at fixed QP
+        self.idr_pic_id_base = idr_pic_id_base
+        if cfg.mb_height % cfg.slice_bands:
+            raise ValueError("slice_bands must divide mb_height")
+        self.n_bands = cfg.slice_bands
+        self.band_rows = cfg.mb_height // cfg.slice_bands
+        self.cap_words = 1 << int(np.ceil(np.log2(
+            self.band_rows * cfg.mb_width * WORDS_PER_MB)))
+        self.frame_num = 0
+        self.step_idx = 0
+        self.rc = [RateControl(cfg.n_mb, cfg.gop, cfg.vbv_size_bytes, cfg.qp)
+                   for _ in range(n_gop)]
+        self._refs = None
+        self._sps = headers.SpsParams(
+            width=cfg.width, height=cfg.height,
+            mb_width=cfg.mb_width, mb_height=cfg.mb_height,
+            sps_id=cfg.sps_id, num_ref_frames=1,
+            vbv_size_bytes=cfg.vbv_size_bytes)
+        self._band_plan = {}
+
+    def _plan(self, slope):
+        if slope not in self._band_plan:
+            plan = wavefront.make_plan(self.config.mb_width,
+                                       self.band_rows, slope)
+            nmb = self.config.mb_width * self.band_rows
+            r = np.arange(nmb) // self.config.mb_width
+            c = np.arange(nmb) % self.config.mb_width
+            self._band_plan[slope] = (jnp.asarray(plan.steps),
+                                      jnp.asarray(r > 0), jnp.asarray(c > 0))
+        return self._band_plan[slope]
+
+    def _shard(self, x, spec):
+        if self.mesh is None:
+            return x
+        return jax.device_put(x, NamedSharding(self.mesh, spec))
+
+    def encode_step(self, frames, run: RunConfig | None = None,
+                    return_recon: bool = False):
+        """Encode one frame on every lane. frames: list of G (y, u, v)
+        uint8 planes. Returns list of G FrameResult (payload per lane)."""
+        cfg = self.config
+        run = run or RunConfig(qp_min=cfg.qp, qp_max=cfg.qp)
+        G, B = self.n_gop, self.n_bands
+        assert len(frames) == G
+        is_idr = (self.step_idx == 0 or
+                  (cfg.gop and self.step_idx % cfg.gop == 0))
+        has_inter = not is_idr and self._refs is not None
+
+        qps = []
+        for g in range(G):
+            qp = self.rc[g].frame_start(
+                not has_inter, run.desired_frame_bytes,
+                int(np.clip(run.qp_min, 10, 51)),
+                int(np.clip(run.qp_max, 10, 51)))
+            qps.append(qp)
+        qp_arr = jnp.asarray(np.asarray(qps, np.int32))
+        qpc_arr = jnp.asarray(
+            np.asarray([int(tables.QPC_FROM_QPY[q]) for q in qps], np.int32))
+
+        mbw = cfg.mb_width
+        nmb_b = self.band_rows * mbw
+        ph, pw = cfg.padded_height, cfg.padded_width
+        ys, us, vs = [], [], []
+        for (y, u, v) in frames:
+            ty = wavefront.mb_tiles(
+                wavefront.pad_plane(np.asarray(y, np.uint8), ph, pw), 16)
+            tu = wavefront.mb_tiles(
+                wavefront.pad_plane(np.asarray(u, np.uint8), ph // 2,
+                                    pw // 2), 8)
+            tv = wavefront.mb_tiles(
+                wavefront.pad_plane(np.asarray(v, np.uint8), ph // 2,
+                                    pw // 2), 8)
+            ys.append(ty.reshape(B, nmb_b, 16, 16))
+            us.append(tu.reshape(B, nmb_b, 8, 8))
+            vs.append(tv.reshape(B, nmb_b, 8, 8))
+        gb = P("gop", "band")
+        src_y = self._shard(jnp.asarray(np.stack(ys)), gb)
+        src_u = self._shard(jnp.asarray(np.stack(us)), gb)
+        src_v = self._shard(jnp.asarray(np.stack(vs)), gb)
+
+        enable_i4x4 = (not has_inter) or run.encode_speed < 2
+        enable_partitions = run.encode_speed < 1
+        enable_qpel = run.encode_speed < 9
+        enable_deblock = run.encode_speed not in (8, 10)
+        steps, a_top, a_left = self._plan(2 if enable_i4x4 else 1)
+        row0s = jnp.asarray(
+            np.arange(B, dtype=np.int32) * self.band_rows)
+
+        out, new_refs = _gop_banded(
+            src_y, src_u, src_v,
+            self._refs if has_inter else None,
+            self._shard(qp_arr, P("gop")), self._shard(qpc_arr, P("gop")),
+            steps, a_top, a_left, row0s,
+            mb_width=mbw, band_rows=self.band_rows, n_bands=B,
+            has_inter=has_inter, enable_i4x4=enable_i4x4,
+            enable_deblock=enable_deblock,
+            enable_partitions=enable_partitions, enable_qpel=enable_qpel,
+            cap_words=self.cap_words)
+        self._refs = new_refs
+
+        pending = _PendingStep(out=out, qps=qps, is_idr=is_idr, run=run,
+                               n_bands=B)
+        self.step_idx += 1
+        fn_use = 0 if is_idr else self.frame_num
+        self.frame_num = (fn_use + 1) % (1 << headers.FRAME_NUM_BITS)
+        return self._finish(pending, fn_use, return_recon)
+
+    def _finish(self, p: _PendingStep, frame_num: int,
+                return_recon: bool = False):
+        cfg = self.config
+        G, B = self.n_gop, p.n_bands
+        words = np.asarray(p.out["words"])          # (G, B, cap)
+        nbits = np.asarray(p.out["nbits"])          # (G, B)
+        deblock_idc = 2 if B > 1 else 0
+        results = []
+        for g in range(G):
+            payload = b""
+            if p.is_idr:
+                payload += headers.sps_nal(self._sps)
+                payload += headers.pps_nal(cfg.sps_id, 0, PIC_INIT_QP)
+            for b in range(B):
+                bw = BitWriter(capacity=1 << 16)
+                shp = headers.SliceHeaderParams(
+                    slice_type=(headers.SLICE_TYPE_I if p.is_idr
+                                else headers.SLICE_TYPE_P),
+                    is_idr=p.is_idr,
+                    frame_num=frame_num,
+                    first_mb=b * self.band_rows * cfg.mb_width,
+                    pps_id=cfg.sps_id * 4,
+                    idr_pic_id=(self.idr_pic_id_base + g) % 16,
+                    slice_qp=p.qps[g],
+                    pic_init_qp=PIC_INIT_QP,
+                    disable_deblocking_filter_idc=deblock_idc,
+                    long_term_idx_update=0,
+                    max_long_term_frames=0)
+                headers.write_slice_header_rbsp(bw, shp)
+                total_bits = int(nbits[g, b])
+                bw.append_bits_bytes(
+                    bitpack.words_to_bytes(words[g, b], total_bits),
+                    total_bits)
+                bw.rbsp_trailing_bits()
+                ref_idc, nal_type = headers.slice_nal_header_byte(shp)
+                payload += annexb_nal(ref_idc, nal_type, bw.to_bytes())
+            self.rc[g].frame_end(p.is_idr, len(payload),
+                                 p.run.desired_frame_bytes)
+            recon = None
+            if return_recon:
+                mbh = cfg.mb_height
+                ry = wavefront.tiles_to_plane(
+                    np.asarray(p.out["df_y"][g]), mbh, cfg.mb_width)
+                ru = wavefront.tiles_to_plane(
+                    np.asarray(p.out["df_u"][g]), mbh, cfg.mb_width)
+                rv = wavefront.tiles_to_plane(
+                    np.asarray(p.out["df_v"][g]), mbh, cfg.mb_width)
+                recon = (ry[:cfg.height, :cfg.width],
+                         ru[:cfg.height // 2, :cfg.width // 2],
+                         rv[:cfg.height // 2, :cfg.width // 2])
+            results.append(FrameResult(
+                payload=payload, frame_type="IDR" if p.is_idr else "P",
+                qp=p.qps[g], recon=recon))
+        return results
+
+
+def encode_stream(frames, config: EncoderConfig, n_gop: int | None = None,
+                  run: RunConfig | None = None, mesh: Mesh | None = None):
+    """Encode a frame sequence with GOP-parallel lanes and return the
+    in-order Annex-B stream. Lane g takes GOP g, g+n_gop, ...: with fixed
+    QP the output is bit-identical to sequential encoding, only the
+    schedule differs (BASELINE config 5's decomposition)."""
+    cfg = config
+    n_gop = cfg.gop_parallel if n_gop is None else n_gop
+    gop = cfg.gop or len(frames)
+    n_gops_total = (len(frames) + gop - 1) // gop
+    chunks = [frames[i * gop:(i + 1) * gop] for i in range(n_gops_total)]
+    payloads = [[] for _ in range(n_gops_total)]
+    for base in range(0, n_gops_total, n_gop):
+        group = chunks[base:base + n_gop]
+        enc = GopBandEncoder(cfg, n_gop=len(group), mesh=mesh,
+                             idr_pic_id_base=base % 16)
+        for t in range(max(len(c) for c in group)):
+            lanes = [c[min(t, len(c) - 1)] for c in group]
+            results = enc.encode_step(lanes, run)
+            for gi, r in enumerate(results):
+                if t < len(group[gi]):
+                    payloads[base + gi].append(r.payload)
+    return b"".join(b"".join(p) for p in payloads)

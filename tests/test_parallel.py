@@ -1,0 +1,77 @@
+"""Multi-chip parallelism tests on the virtual 8-device CPU mesh.
+
+Validates the (gop x band) sharded encoder end-to-end: the sharded
+program must produce byte-identical streams to the single-device
+encoder, and the streams must decode bit-exactly (independent decoder).
+TPU-equivalent of testing the reference's slice-thread mode
+(`src/h264-lab.h:6511-6574`) without a cluster (SURVEY.md §4).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from h264lab_tpu.config import EncoderConfig, RunConfig
+from h264lab_tpu.decoder.decoder import H264Decoder
+from h264lab_tpu.models.encoder import H264Encoder
+from h264lab_tpu.parallel.gop import GopBandEncoder, encode_stream, make_mesh
+from h264lab_tpu.utils.synthetic import chessboard_sequence
+
+W, H = 96, 64
+QP = 30
+
+
+def _frames(n):
+    return list(chessboard_sequence(W, H, n))
+
+
+def _sequential_stream(frames, cfg, run):
+    enc = H264Encoder(cfg)
+    return b"".join(enc.encode(*f, run).payload for f in frames)
+
+
+@pytest.fixture(scope="module")
+def run():
+    return RunConfig(qp_min=QP, qp_max=QP, encode_speed=2)
+
+
+def test_gop_parallel_bit_identical_to_sequential(run):
+    """GOP-parallel scheduling is invisible in the bitstream: at fixed QP
+    the stitched stream equals the sequential encoder's output."""
+    frames = _frames(6)
+    cfg = EncoderConfig(width=W, height=H, gop=3, qp=QP, slice_bands=2)
+    seq = _sequential_stream(frames, cfg, run)
+    par = encode_stream(frames, cfg, n_gop=2, run=run)
+    assert par == seq
+
+
+def test_mesh_sharded_stream_matches_and_decodes(run):
+    """The (gop, band)-mesh-sharded program produces the same bytes as
+    the unsharded one, and the stream decodes bit-exactly."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs the 8-virtual-device CPU mesh (conftest)")
+    frames = _frames(3)
+    cfg = EncoderConfig(width=W, height=H, gop=3, qp=QP, slice_bands=2)
+
+    mesh = make_mesh(2, 2)
+    enc_m = GopBandEncoder(cfg, n_gop=2, mesh=mesh)
+    enc_1 = GopBandEncoder(cfg, n_gop=2, mesh=None)
+
+    stream_m = b""
+    recons = []
+    for f in frames:
+        rm = enc_m.encode_step([f, f], run, return_recon=True)
+        r1 = enc_1.encode_step([f, f], run)
+        assert rm[0].payload == r1[0].payload
+        assert rm[1].payload == r1[1].payload
+        stream_m += rm[0].payload
+        recons.append(rm[0].recon)
+
+    dec = H264Decoder()
+    dec_frames = dec.decode(stream_m)
+    assert len(dec_frames) == len(frames)
+    for t, df in enumerate(dec_frames):
+        for plane_dec, plane_enc in zip(df.cropped(dec.sps), recons[t]):
+            assert np.array_equal(np.asarray(plane_dec),
+                                  np.asarray(plane_enc))
