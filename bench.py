@@ -1,17 +1,29 @@
 #!/usr/bin/env python
 """Headline benchmark: 1080p-class IPPP encode frames/s on one TPU chip.
 
-Runs on the real TPU chip (do NOT force JAX_PLATFORMS=cpu here). Encodes a
-1920x1088 synthetic sequence (the reference's own chessboard fixture) with
+Runs on the real TPU chip (do NOT force JAX_PLATFORMS=cpu here). Encodes
+1920x1088 synthetic video (the reference's own chessboard fixture) with
 GOP 20 at QP 33 — the full pipeline: 3-stage motion search, qpel MC,
 inter/intra16/intra4x4 decision, deblocking, CAVLC with device-side bit
 packing.
 
+The chip encodes G independent GOP lanes per dispatch (GopBandEncoder,
+no mesh: the same lane machinery that shards over a ("gop", "band")
+mesh, here filling ONE chip). The wavefront scan is latency-bound at
+batch 1 — ~190 sequential diagonal steps of <=68 MBs — so lane-batching
+widens every step G-fold at near-constant step time. This is throughput
+per chip on BASELINE config 5's decomposition (closed GOPs in
+parallel); per-frame latency is the sequential H264Encoder's number,
+not this one. Host packing of step N overlaps device compute of step
+N+1 (encode_step_async/finish_step).
+
 Baseline: the C reference encoder (built from /root/reference, gcc -O2,
-single thread, this host) measured 4.64 fps on the same 30-frame input at
-GOP 20 / QP 33 (all-intra gop=1: 16.2 fps). The reference publishes no
-numbers (BASELINE.md), so these locally measured figures define
-vs_baseline.
+single thread, this host) measured 4.64 fps on the same 30-frame input
+at GOP 20 / QP 33 (all-intra gop=1: 16.2 fps). The reference publishes
+no numbers (BASELINE.md), so these locally measured figures define
+vs_baseline. RD fairness of the comparison (PSNR/bitrate at equal QP)
+is measured separately by tests/rd_compare.py and recorded in
+RD_COMPARE.md.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -24,43 +36,49 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from h264lab_tpu.config import EncoderConfig, RunConfig  # noqa: E402
-from h264lab_tpu.models.encoder import H264Encoder  # noqa: E402
+from h264lab_tpu.parallel.gop import GopBandEncoder  # noqa: E402
 from h264lab_tpu.utils.synthetic import chessboard_sequence  # noqa: E402
 
 WIDTH, HEIGHT = 1920, 1088
 QP = 33
-N_FRAMES = int(os.environ.get("BENCH_FRAMES", "16"))
+GOP = 20
+LANES = int(os.environ.get("BENCH_LANES", "8"))
+STEPS = int(os.environ.get("BENCH_STEPS", "12"))   # timed steps (x LANES frames)
 WARMUP = 3
 SPEED = int(os.environ.get("BENCH_SPEED", "2"))
 
-REF_FPS_IPPP = 4.64        # gop=20, this host, 1 thread
+REF_FPS_IPPP = 4.64        # C reference, gop=20, this host, 1 thread
 
 
 def main():
-    frames = list(chessboard_sequence(WIDTH, HEIGHT, N_FRAMES))
-    cfg = EncoderConfig(width=WIDTH, height=HEIGHT, gop=20, qp=QP)
-    enc = H264Encoder(cfg)
+    n_src = WARMUP + STEPS
+    frames = list(chessboard_sequence(WIDTH, HEIGHT, n_src))
+    # lane g encodes GOP g of the source stream: its step-t input is
+    # frame g*GOP + t; the fixture loops if the clip is shorter
+    def lane_inputs(t):
+        return [frames[(g * GOP + t) % n_src] for g in range(LANES)]
+
+    cfg = EncoderConfig(width=WIDTH, height=HEIGHT, gop=GOP, qp=QP)
+    enc = GopBandEncoder(cfg, n_gop=LANES)
     run = RunConfig(qp_min=QP, qp_max=QP, encode_speed=SPEED)
 
-    total_bytes = 0
-    # warmup (jit compile of I and P pipelines)
-    for (y, u, v) in frames[:WARMUP]:
-        enc.encode(y, u, v, run)
+    # warmup: compiles the IDR and P pipelines and exercises finish_step
+    for t in range(WARMUP):
+        enc.encode_step(lane_inputs(t), run)
 
-    # two-stage pipeline: the device computes frame N+1 while the host
-    # packs frame N
+    total_bytes = 0
     t0 = time.time()
     pending = None
-    for (y, u, v) in frames[WARMUP:]:
-        nxt = enc.encode_async(y, u, v, run)
+    for t in range(WARMUP, WARMUP + STEPS):
+        nxt = enc.encode_step_async(lane_inputs(t), run)
         if pending is not None:
-            total_bytes += len(enc.finish(pending).payload)
+            total_bytes += sum(len(r.payload)
+                               for r in enc.finish_step(pending))
         pending = nxt
     if pending is not None:
-        total_bytes += len(enc.finish(pending).payload)
+        total_bytes += sum(len(r.payload) for r in enc.finish_step(pending))
     dt = time.time() - t0
-    n = len(frames) - WARMUP
-    fps = n / dt
+    fps = LANES * STEPS / dt
 
     print(json.dumps({
         "metric": "ippp_1080p_fps_per_chip",

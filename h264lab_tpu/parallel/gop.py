@@ -58,11 +58,19 @@ def _gop_banded_core(src_y, src_u, src_v, refs, qp, qpc,
                      enable_deblock: bool, enable_partitions: bool,
                      enable_qpel: bool, cap_words: int):
     """One encode step for (G gop-lanes × B bands): banded encode per
-    lane, device-side bit packing per (lane, band). src_*: (G, B, nmb_b,
-    ...); refs: per-lane reference pytree with leading G (or None for
+    lane, device-side bit packing per (lane, band). src_*: (G, ph, pw)
+    padded planes (MB tiling happens on device — only raw pixels cross
+    PCIe); refs: per-lane reference pytree with leading G (or None for
     intra); qp/qpc: (G,). Returns the batched out dict + packed words."""
+    nmb_b = band_rows * mb_width
 
-    def one_lane(sy, su, sv, ref, qp_l, qpc_l):
+    def tiles(p, t):
+        h, w = p.shape
+        return (p.reshape(h // t, t, w // t, t).transpose(0, 2, 1, 3)
+                .reshape(n_bands, nmb_b, t, t))
+
+    def one_lane(py, pu, pv, ref, qp_l, qpc_l):
+        sy, su, sv = tiles(py, 16), tiles(pu, 8), tiles(pv, 8)
         if ref is None:
             dummy = jnp.zeros((8, 8), jnp.uint8)
             ry = ru = rv = r4 = dummy
@@ -109,6 +117,8 @@ class _PendingStep:
     is_idr: bool
     run: RunConfig
     n_bands: int
+    frame_num: int
+    return_recon: bool
 
 
 class GopBandEncoder:
@@ -125,15 +135,20 @@ class GopBandEncoder:
     """
 
     def __init__(self, config: EncoderConfig, n_gop: int | None = None,
-                 mesh: Mesh | None = None, idr_pic_id_base: int = 0):
+                 mesh: Mesh | None = None, idr_pic_id_base: int = 0,
+                 per_lane_idr_pic_id: bool = False):
         cfg = config
         self.config = cfg
         self.n_gop = n_gop = (cfg.gop_parallel if n_gop is None else n_gop)
         self.mesh = mesh
-        # lane g's IDRs use idr_pic_id (base + g) mod 16, matching the
-        # sequential encoder's one-per-IDR increment so GOP-parallel
-        # output is bit-identical to sequential at fixed QP
+        # Standalone lanes are independent streams and all use
+        # `idr_pic_id_base`: identical inputs yield byte-identical lane
+        # outputs (the driver dryrun invariant). `encode_stream` instead
+        # sets per_lane_idr_pic_id so lane g's IDR uses (base + g) mod 16,
+        # matching the sequential encoder's one-per-IDR increment
+        # (reference `src/h264-lab.h:4266`) for bit-identical stitching.
         self.idr_pic_id_base = idr_pic_id_base
+        self.per_lane_idr_pic_id = per_lane_idr_pic_id
         if cfg.mb_height % cfg.slice_bands:
             raise ValueError("slice_bands must divide mb_height")
         self.n_bands = cfg.slice_bands
@@ -170,8 +185,17 @@ class GopBandEncoder:
 
     def encode_step(self, frames, run: RunConfig | None = None,
                     return_recon: bool = False):
-        """Encode one frame on every lane. frames: list of G (y, u, v)
-        uint8 planes. Returns list of G FrameResult (payload per lane)."""
+        """Encode one frame on every lane (dispatch + pack). frames: list
+        of G (y, u, v) uint8 planes. Returns list of G FrameResult."""
+        return self.finish_step(
+            self.encode_step_async(frames, run, return_recon))
+
+    def encode_step_async(self, frames, run: RunConfig | None = None,
+                          return_recon: bool = False) -> _PendingStep:
+        """Dispatch the device computation for one frame on every lane and
+        return immediately; `finish_step` packs the bitstreams — so host
+        packing of step N overlaps device compute of step N+1 (the same
+        two-stage pipeline as H264Encoder.encode_async/finish)."""
         cfg = self.config
         run = run or RunConfig(qp_min=cfg.qp, qp_max=cfg.qp)
         G, B = self.n_gop, self.n_bands
@@ -192,21 +216,16 @@ class GopBandEncoder:
             np.asarray([int(tables.QPC_FROM_QPY[q]) for q in qps], np.int32))
 
         mbw = cfg.mb_width
-        nmb_b = self.band_rows * mbw
         ph, pw = cfg.padded_height, cfg.padded_width
         ys, us, vs = [], [], []
         for (y, u, v) in frames:
-            ty = wavefront.mb_tiles(
-                wavefront.pad_plane(np.asarray(y, np.uint8), ph, pw), 16)
-            tu = wavefront.mb_tiles(
-                wavefront.pad_plane(np.asarray(u, np.uint8), ph // 2,
-                                    pw // 2), 8)
-            tv = wavefront.mb_tiles(
-                wavefront.pad_plane(np.asarray(v, np.uint8), ph // 2,
-                                    pw // 2), 8)
-            ys.append(ty.reshape(B, nmb_b, 16, 16))
-            us.append(tu.reshape(B, nmb_b, 8, 8))
-            vs.append(tv.reshape(B, nmb_b, 8, 8))
+            ys.append(wavefront.pad_plane(np.asarray(y, np.uint8), ph, pw))
+            us.append(wavefront.pad_plane(np.asarray(u, np.uint8),
+                                          ph // 2, pw // 2))
+            vs.append(wavefront.pad_plane(np.asarray(v, np.uint8),
+                                          ph // 2, pw // 2))
+        # (G, ph, pw): lanes over "gop"; rows over "band" (each band's
+        # rows are contiguous, so the row axis IS the band axis)
         gb = P("gop", "band")
         src_y = self._shard(jnp.asarray(np.stack(ys)), gb)
         src_u = self._shard(jnp.asarray(np.stack(us)), gb)
@@ -232,19 +251,24 @@ class GopBandEncoder:
             cap_words=self.cap_words)
         self._refs = new_refs
 
-        pending = _PendingStep(out=out, qps=qps, is_idr=is_idr, run=run,
-                               n_bands=B)
         self.step_idx += 1
         fn_use = 0 if is_idr else self.frame_num
         self.frame_num = (fn_use + 1) % (1 << headers.FRAME_NUM_BITS)
-        return self._finish(pending, fn_use, return_recon)
+        return _PendingStep(out=out, qps=qps, is_idr=is_idr, run=run,
+                            n_bands=B, frame_num=fn_use,
+                            return_recon=return_recon)
 
-    def _finish(self, p: _PendingStep, frame_num: int,
-                return_recon: bool = False):
+    def finish_step(self, p: _PendingStep):
+        """Pack a dispatched step into per-lane Annex-B bytes."""
         cfg = self.config
         G, B = self.n_gop, p.n_bands
-        words = np.asarray(p.out["words"])          # (G, B, cap)
+        frame_num = p.frame_num
+        return_recon = p.return_recon
         nbits = np.asarray(p.out["nbits"])          # (G, B)
+        # one plain transfer of the ready buffer: a device-side prefix
+        # slice would be a compute op queued BEHIND the next step's
+        # program and would serialize the two-stage pipeline
+        words = np.asarray(p.out["words"])          # (G, B, cap)
         deblock_idc = 2 if B > 1 else 0
         results = []
         for g in range(G):
@@ -261,7 +285,9 @@ class GopBandEncoder:
                     frame_num=frame_num,
                     first_mb=b * self.band_rows * cfg.mb_width,
                     pps_id=cfg.sps_id * 4,
-                    idr_pic_id=(self.idr_pic_id_base + g) % 16,
+                    idr_pic_id=(self.idr_pic_id_base
+                                + (g if self.per_lane_idr_pic_id else 0))
+                    % 16,
                     slice_qp=p.qps[g],
                     pic_init_qp=PIC_INIT_QP,
                     disable_deblocking_filter_idc=deblock_idc,
@@ -310,7 +336,8 @@ def encode_stream(frames, config: EncoderConfig, n_gop: int | None = None,
     for base in range(0, n_gops_total, n_gop):
         group = chunks[base:base + n_gop]
         enc = GopBandEncoder(cfg, n_gop=len(group), mesh=mesh,
-                             idr_pic_id_base=base % 16)
+                             idr_pic_id_base=base % 16,
+                             per_lane_idr_pic_id=True)
         for t in range(max(len(c) for c in group)):
             lanes = [c[min(t, len(c) - 1)] for c in group]
             results = enc.encode_step(lanes, run)

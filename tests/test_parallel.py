@@ -49,8 +49,10 @@ def test_gop_parallel_bit_identical_to_sequential(run):
 def test_mesh_sharded_stream_matches_and_decodes(run):
     """The (gop, band)-mesh-sharded program produces the same bytes as
     the unsharded one, and the stream decodes bit-exactly."""
-    if len(jax.devices()) < 4:
-        pytest.skip("needs the 8-virtual-device CPU mesh (conftest)")
+    # fail loudly, never skip: a silently-skipped mesh test is how the
+    # round-2 multichip gate went red while the suite stayed green
+    assert len(jax.devices()) >= 4, \
+        "conftest must provide the 8-virtual-device CPU mesh"
     frames = _frames(3)
     cfg = EncoderConfig(width=W, height=H, gop=3, qp=QP, slice_bands=2)
 
