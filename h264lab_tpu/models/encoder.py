@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 
@@ -370,12 +371,15 @@ class H264Encoder:
         run = pending.run
         payload = pending.sps_pps
         for out_b, (bw, shp) in zip(pending.band_outs, pending.band_hdrs):
-            total_bits = int(out_b["total_bits"])
-            cap = bitpack.bucket_words(total_bits)
-            words, _ = bitpack.pack_bits_device(out_b["sym_vals"],
-                                                out_b["sym_lens"], cap)
-            bw.append_bits_bytes(bitpack.words_to_bytes(words, total_bits),
-                                 total_bits)
+            tail_len = int(out_b["tail_len"])
+            mb_bits = int(out_b["total_bits"]) - tail_len
+            cap = bitpack.bucket_words(mb_bits)
+            words, _ = bitpack.pack_frame_fast(
+                out_b["sym_vals"], out_b["sym_lens"], cap)
+            bw.append_bits_bytes(bitpack.words_to_bytes(words, mb_bits),
+                                 mb_bits)
+            if tail_len:
+                bw.u(tail_len, int(out_b["tail_val"]))
             bw.rbsp_trailing_bits()
             ref_idc, nal_type = headers.slice_nal_header_byte(shp)
             nal = annexb_nal(ref_idc, nal_type, bw.to_bytes())

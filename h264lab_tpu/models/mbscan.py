@@ -244,7 +244,121 @@ def encode_frame_core(src_y_mb, src_u_mb, src_v_mb,
         cdc_inter = jnp.zeros((nmb, 2, 2, 2), jnp.int32)
         cac_inter = jnp.zeros((nmb, 2, 2, 2, 4, 4), jnp.int32)
 
-    # ---------------- stage 2: wavefront scan ----------------------------
+    # ---------------- stage 2: MB selection + intra encode ---------------
+    if has_inter and not enable_i4x4:
+        # Fully parallel P path — no wavefront. Intra prediction must read
+        # the decoder's reconstruction of the left/top neighbours; an
+        # encoder-side mode constraint makes that reconstruction known in
+        # advance: an MB may only be Intra_16x16 if its in-slice left and
+        # top neighbours are inter. Then every intra prediction reads
+        # *inter* recon (precomputed in stage 1) and the whole frame
+        # encodes in one batched dispatch. The constraint is evaluated on
+        # the pre-selection "wants intra" mask, so it is parallel and
+        # deterministic; it only costs RD when intra MBs would cluster
+        # (the reference's sequential cascade `src/h264-lab.h:5724-5812`
+        # allows runs of intra MBs — rare inside P frames, and scene cuts
+        # go through IDR/rate-control instead).
+        z_row = jnp.zeros((mb_width, 16), jnp.uint8)
+        z_col = jnp.zeros((1, 16), jnp.uint8)
+        top_row = jnp.concatenate([z_row, recon_y_inter[:-mb_width, 15, :]])
+        left_col = jnp.concatenate([z_col, recon_y_inter[:-1, :, 15]])
+
+        preds, valid16 = intra.predict_16x16(top_row, left_col,
+                                             avail_top, avail_left)
+        mode16, pred_y16, cost16 = intra.select_mode(src_y_mb, preds,
+                                                     valid16)
+        icost16 = cost16 + lam * INTRA_IN_P_PENALTY_BITS
+        want = icost16 < inter_cost
+        want_l = jnp.concatenate([jnp.zeros((1,), bool), want[:-1]])
+        want_t = jnp.concatenate([jnp.zeros((mb_width,), bool),
+                                  want[:-mb_width]])
+        sel = jnp.where(want & ~(want_l & avail_left)
+                        & ~(want_t & avail_top),
+                        SEL_I16, SEL_INTER).astype(jnp.int32)
+        is_i16_mb = sel == SEL_I16
+
+        dc_lev, ac_lev, rec_y16 = _encode_luma_i16(src_y_mb, pred_y16, qp)
+
+        # chroma intra (u and v batched), edges from inter recon
+        zc_row = jnp.zeros((mb_width, 8), jnp.uint8)
+        zc_col = jnp.zeros((1, 8), jnp.uint8)
+        top_c = jnp.concatenate([
+            jnp.concatenate([zc_row, recon_u_inter[:-mb_width, 7, :]]),
+            jnp.concatenate([zc_row, recon_v_inter[:-mb_width, 7, :]])])
+        left_c = jnp.concatenate([
+            jnp.concatenate([zc_col, recon_u_inter[:-1, :, 7]]),
+            jnp.concatenate([zc_col, recon_v_inter[:-1, :, 7]])])
+        a_top2 = jnp.concatenate([avail_top, avail_top])
+        a_left2 = jnp.concatenate([avail_left, avail_left])
+        preds_c, valid_c = intra.predict_chroma(top_c, left_c,
+                                                a_top2, a_left2)
+        src_c = jnp.concatenate([src_u_mb, src_v_mb])
+        ccost2 = intra.sad(src_c[:, None], preds_c)
+        ccost = ccost2[:nmb] + ccost2[nmb:]
+        ccost = jnp.where(valid_c[:nmb], ccost, jnp.int32(1 << 30))
+        cmode = jnp.argmin(ccost, axis=1).astype(jnp.int32)
+        cm2 = jnp.concatenate([cmode, cmode])
+        pred_c = jnp.take_along_axis(preds_c, cm2[:, None, None, None],
+                                     axis=1)[:, 0]
+        cdc_c, cac_c, rec_c = _encode_chroma(src_c, pred_c, qpc,
+                                             INTRA_DEADZONE_Q8)
+        cdc_intra = jnp.stack([cdc_c[:nmb], cdc_c[nmb:]], axis=1)
+        cac_intra = jnp.stack([cac_c[:nmb], cac_c[nmb:]], axis=1)
+
+        m_i = is_i16_mb[:, None, None]
+        recon_y = jnp.where(m_i, rec_y16, recon_y_inter)
+        recon_u = jnp.where(m_i, rec_c[:nmb], recon_u_inter)
+        recon_v = jnp.where(m_i, rec_c[nmb:], recon_v_inter)
+        i4modes = jnp.full((nmb, 16), 2, jnp.int32)
+        i4sym_v = jnp.zeros((nmb, 16), jnp.uint32)
+        i4sym_l = jnp.zeros((nmb, 16), jnp.int32)
+    else:
+        (sel, mode16, cmode, dc_lev, ac_lev, cdc_intra, cac_intra,
+         recon_y, recon_u, recon_v, i4modes, i4sym_v, i4sym_l) = \
+            _wavefront_scan(
+                src_y_mb, src_u_mb, src_v_mb, qp, qpc,
+                steps, avail_top, avail_left,
+                inter_cost, recon_y_inter, recon_u_inter, recon_v_inter,
+                lam, mb_width, nmb, has_inter, enable_i4x4)
+
+    is_intra_mb = sel != SEL_INTER
+    cdc_lev = jnp.where(is_intra_mb[:, None, None, None],
+                        cdc_intra, cdc_inter)
+    cac_lev = jnp.where(is_intra_mb[:, None, None, None, None, None],
+                        cac_intra, cac_inter)
+    mv_y = jnp.where(is_intra_mb, 0, mv_y)
+    mv_x = jnp.where(is_intra_mb, 0, mv_x)
+    mv4_y = jnp.where(is_intra_mb[:, None, None], 0, mv4_y)
+    mv4_x = jnp.where(is_intra_mb[:, None, None], 0, mv4_x)
+    shape = jnp.where(is_intra_mb, 0, shape)
+
+    # ---------------- stage 3: deblocking --------------------------------
+    if enable_deblock:
+        nnz_inter_blk = jnp.sum(lev_inter != 0, axis=(-2, -1)) \
+            .astype(jnp.int32)
+        df_y, df_u, df_v = deblock_frame(
+            recon_y, recon_u, recon_v, sel, nnz_inter_blk, mv4_y, mv4_x,
+            qp, qpc, avail_top, avail_left, mb_width, mb_height)
+    else:
+        df_y, df_u, df_v = recon_y, recon_u, recon_v
+
+    out = symbolize(sel, mode16, cmode, i4modes, i4sym_v, i4sym_l,
+                    mv4_y, mv4_x, shape, dc_lev, ac_lev, lev_inter,
+                    cdc_lev, cac_lev, mb_width, mb_height, has_inter)
+    out.update(dict(recon_y=recon_y, recon_u=recon_u, recon_v=recon_v,
+                    df_y=df_y, df_u=df_u, df_v=df_v,
+                    mv_y=mv_y, mv_x=mv_x, mv4_y=mv4_y, mv4_x=mv4_x,
+                    shape=shape, sel=sel, i4modes=i4modes))
+    return out
+
+
+def _wavefront_scan(src_y_mb, src_u_mb, src_v_mb, qp, qpc,
+                    steps, avail_top, avail_left,
+                    inter_cost, recon_y_inter, recon_u_inter, recon_v_inter,
+                    lam, mb_width: int, nmb: int,
+                    has_inter: bool, enable_i4x4: bool):
+    """The anti-diagonal wavefront `lax.scan` over MBs (I frames and
+    quality-mode P frames with intra 4x4)."""
     n_steps, kmax = steps.shape
     steps_w = jnp.where(steps < 0, nmb, steps)       # dead lanes -> pad row
 
@@ -416,35 +530,8 @@ def encode_frame_core(src_y_mb, src_u_mb, src_v_mb,
         i4sym_v = jnp.zeros((nmb, 16), jnp.uint32)
         i4sym_l = jnp.zeros((nmb, 16), jnp.int32)
 
-    is_intra_mb = sel != SEL_INTER
-    cdc_lev = jnp.where(is_intra_mb[:, None, None, None],
-                        cdc_intra, cdc_inter)
-    cac_lev = jnp.where(is_intra_mb[:, None, None, None, None, None],
-                        cac_intra, cac_inter)
-    mv_y = jnp.where(is_intra_mb, 0, mv_y)
-    mv_x = jnp.where(is_intra_mb, 0, mv_x)
-    mv4_y = jnp.where(is_intra_mb[:, None, None], 0, mv4_y)
-    mv4_x = jnp.where(is_intra_mb[:, None, None], 0, mv4_x)
-    shape = jnp.where(is_intra_mb, 0, shape)
-
-    # ---------------- stage 3: deblocking --------------------------------
-    if enable_deblock:
-        nnz_inter_blk = jnp.sum(lev_inter != 0, axis=(-2, -1)) \
-            .astype(jnp.int32)
-        df_y, df_u, df_v = deblock_frame(
-            recon_y, recon_u, recon_v, sel, nnz_inter_blk, mv4_y, mv4_x,
-            qp, qpc, avail_top, avail_left, mb_width, mb_height)
-    else:
-        df_y, df_u, df_v = recon_y, recon_u, recon_v
-
-    out = symbolize(sel, mode16, cmode, i4modes, i4sym_v, i4sym_l,
-                    mv4_y, mv4_x, shape, dc_lev, ac_lev, lev_inter,
-                    cdc_lev, cac_lev, mb_width, mb_height, has_inter)
-    out.update(dict(recon_y=recon_y, recon_u=recon_u, recon_v=recon_v,
-                    df_y=df_y, df_u=df_u, df_v=df_v,
-                    mv_y=mv_y, mv_x=mv_x, mv4_y=mv4_y, mv4_x=mv4_x,
-                    shape=shape, sel=sel, i4modes=i4modes))
-    return out
+    return (sel, mode16, cmode, dc_lev, ac_lev, cdc_intra, cac_intra,
+            recon_y, recon_u, recon_v, i4modes, i4sym_v, i4sym_l)
 
 
 # ---------------------------------------------------------------------------
@@ -944,26 +1031,33 @@ def symbolize(sel, mode16, cmode, i4modes, i4sym_v, i4sym_l,
         cbpl_[:, None], dqp_l[:, None]], axis=1)
 
     # ---- assembly ---------------------------------------------------------
+    # (nmb, 28*ns) layout: unit 0 = MB header symbols (33 slots + 1 pad),
+    # units 1..27 = the CAVLC blocks in decode order — a uniform
+    # (nmb, 28, ns) unit grid that the hierarchical device packer
+    # exploits (ops/bitpack.py). The trailing skip-run symbol of a P
+    # slice is returned separately (appended on host after the MB bits).
+    pad1 = jnp.zeros((nmb, 1), jnp.uint32)
     sym_vals = jnp.concatenate([
-        hdr_vals.astype(jnp.uint32),
+        hdr_vals.astype(jnp.uint32), pad1,
         dc_vals,
         luma_vals[:, _BLOCK_SCAN].reshape(nmb, 16 * ns),
         cdc_vals.reshape(nmb, 2 * ns),
         cac_vals.reshape(nmb, 8 * ns),
-    ], axis=1).ravel()
+    ], axis=1)
     sym_lens = jnp.concatenate([
-        hdr_lens,
+        hdr_lens, pad1.astype(jnp.int32),
         dc_lens,
         luma_lens[:, _BLOCK_SCAN].reshape(nmb, 16 * ns),
         cdc_lens.reshape(nmb, 2 * ns),
         cac_lens.reshape(nmb, 8 * ns),
-    ], axis=1).ravel()
-    if has_inter:
-        sym_vals = jnp.concatenate([sym_vals, tr_v[None]])
-        sym_lens = jnp.concatenate([sym_lens, tr_l[None]])
+    ], axis=1)
+    if not has_inter:
+        tr_v = jnp.zeros((), jnp.uint32)
+        tr_l = jnp.zeros((), jnp.int32)
 
     return dict(sym_vals=sym_vals, sym_lens=sym_lens,
-                total_bits=jnp.sum(sym_lens).astype(jnp.int32),
+                tail_val=tr_v.astype(jnp.uint32), tail_len=tr_l,
+                total_bits=(jnp.sum(sym_lens) + tr_l).astype(jnp.int32),
                 skip=skip, cbp=cbp, cbpc=cbpc,
                 mvd_py=mvd_py, mvd_px=mvd_px)
 

@@ -61,7 +61,11 @@ def _gop_banded_core(src_y, src_u, src_v, refs, qp, qpc,
     lane, device-side bit packing per (lane, band). src_*: (G, ph, pw)
     padded planes (MB tiling happens on device — only raw pixels cross
     PCIe); refs: per-lane reference pytree with leading G (or None for
-    intra); qp/qpc: (G,). Returns the batched out dict + packed words."""
+    intra); qp/qpc: (G,). Returns the batched out dict + packed words.
+
+    `cap_words` is a *typical-frame* capacity, not the worst case: the
+    caller detects overflow (nbits > 32*cap_words) and re-dispatches the
+    step at a larger bucket."""
     nmb_b = band_rows * mb_width
 
     def tiles(p, t):
@@ -86,7 +90,7 @@ def _gop_banded_core(src_y, src_u, src_v, refs, qp, qpc,
             enable_partitions=enable_partitions, enable_qpel=enable_qpel)
         # pack each band's symbol stream on device
         words, nbits = jax.vmap(
-            lambda v, l: bitpack.pack_bits_device(v, l, cap_words))(
+            lambda v, l: bitpack.pack_frame_fast(v, l, cap_words))(
                 out["sym_vals"], out["sym_lens"])
         # per-lane reference state from the full-frame deblocked recon
         nmb = n_bands * band_rows * mb_width
@@ -96,6 +100,7 @@ def _gop_banded_core(src_y, src_u, src_v, refs, qp, qpc,
         new_ref = refstate.prepare_reference(
             df_y, df_u, df_v, mb_width, band_rows * n_bands)
         return dict(words=words, nbits=nbits, total_bits=out["total_bits"],
+                    tail_val=out["tail_val"], tail_len=out["tail_len"],
                     df_y=df_y, df_u=df_u, df_v=df_v), new_ref
 
     in_axes = (0, 0, 0, None if refs is None else 0, 0, 0)
@@ -119,6 +124,8 @@ class _PendingStep:
     n_bands: int
     frame_num: int
     return_recon: bool
+    redo_args: tuple = ()        # (positional args, static kwargs) for a
+    redo_kwargs: dict = None     # capacity-overflow re-dispatch
 
 
 class GopBandEncoder:
@@ -153,7 +160,13 @@ class GopBandEncoder:
             raise ValueError("slice_bands must divide mb_height")
         self.n_bands = cfg.slice_bands
         self.band_rows = cfg.mb_height // cfg.slice_bands
-        self.cap_words = 1 << int(np.ceil(np.log2(
+        # typical-frame packed capacity (~256 bits/MB to start); overflow
+        # is detected in finish_step and re-dispatches at a larger bucket
+        # (the worst case, WORDS_PER_MB, never transfers by default)
+        self.cap_words = max(
+            1024, 1 << int(np.ceil(np.log2(
+                self.band_rows * cfg.mb_width * 8 + 1))))
+        self.max_cap_words = 1 << int(np.ceil(np.log2(
             self.band_rows * cfg.mb_width * WORDS_PER_MB)))
         self.frame_num = 0
         self.step_idx = 0
@@ -239,16 +252,17 @@ class GopBandEncoder:
         row0s = jnp.asarray(
             np.arange(B, dtype=np.int32) * self.band_rows)
 
-        out, new_refs = _gop_banded(
-            src_y, src_u, src_v,
-            self._refs if has_inter else None,
-            self._shard(qp_arr, P("gop")), self._shard(qpc_arr, P("gop")),
-            steps, a_top, a_left, row0s,
-            mb_width=mbw, band_rows=self.band_rows, n_bands=B,
-            has_inter=has_inter, enable_i4x4=enable_i4x4,
-            enable_deblock=enable_deblock,
-            enable_partitions=enable_partitions, enable_qpel=enable_qpel,
-            cap_words=self.cap_words)
+        args = (src_y, src_u, src_v,
+                self._refs if has_inter else None,
+                self._shard(qp_arr, P("gop")), self._shard(qpc_arr, P("gop")),
+                steps, a_top, a_left, row0s)
+        kwargs = dict(mb_width=mbw, band_rows=self.band_rows, n_bands=B,
+                      has_inter=has_inter, enable_i4x4=enable_i4x4,
+                      enable_deblock=enable_deblock,
+                      enable_partitions=enable_partitions,
+                      enable_qpel=enable_qpel)
+        out, new_refs = _gop_banded(*args, cap_words=self.cap_words,
+                                    **kwargs)
         self._refs = new_refs
 
         self.step_idx += 1
@@ -256,7 +270,8 @@ class GopBandEncoder:
         self.frame_num = (fn_use + 1) % (1 << headers.FRAME_NUM_BITS)
         return _PendingStep(out=out, qps=qps, is_idr=is_idr, run=run,
                             n_bands=B, frame_num=fn_use,
-                            return_recon=return_recon)
+                            return_recon=return_recon,
+                            redo_args=args, redo_kwargs=kwargs)
 
     def finish_step(self, p: _PendingStep):
         """Pack a dispatched step into per-lane Annex-B bytes."""
@@ -265,10 +280,24 @@ class GopBandEncoder:
         frame_num = p.frame_num
         return_recon = p.return_recon
         nbits = np.asarray(p.out["nbits"])          # (G, B)
+        # capacity overflow: re-dispatch the step at a larger bucket
+        # (rare; buffers and transfers stay sized for the typical frame)
+        while int(nbits.max(initial=0)) > 32 * self.cap_words:
+            if self.cap_words >= self.max_cap_words:
+                raise RuntimeError("packed stream exceeds spec bound")
+            need = int(nbits.max()) // 32 + 2
+            while self.cap_words < min(need * 2, self.max_cap_words):
+                self.cap_words *= 2
+            out, _ = _gop_banded(*p.redo_args, cap_words=self.cap_words,
+                                 **p.redo_kwargs)
+            p.out = out
+            nbits = np.asarray(p.out["nbits"])
         # one plain transfer of the ready buffer: a device-side prefix
         # slice would be a compute op queued BEHIND the next step's
         # program and would serialize the two-stage pipeline
-        words = np.asarray(p.out["words"])          # (G, B, cap)
+        words = np.asarray(p.out["words"])          # (G, B, cap[+slack])
+        tails_v = np.asarray(p.out["tail_val"])     # (G, B)
+        tails_l = np.asarray(p.out["tail_len"])     # (G, B)
         deblock_idc = 2 if B > 1 else 0
         results = []
         for g in range(G):
@@ -294,10 +323,11 @@ class GopBandEncoder:
                     long_term_idx_update=0,
                     max_long_term_frames=0)
                 headers.write_slice_header_rbsp(bw, shp)
-                total_bits = int(nbits[g, b])
+                mb_bits = int(nbits[g, b])
                 bw.append_bits_bytes(
-                    bitpack.words_to_bytes(words[g, b], total_bits),
-                    total_bits)
+                    bitpack.words_to_bytes(words[g, b], mb_bits), mb_bits)
+                if int(tails_l[g, b]):
+                    bw.u(int(tails_l[g, b]), int(tails_v[g, b]))
                 bw.rbsp_trailing_bits()
                 ref_idc, nal_type = headers.slice_nal_header_byte(shp)
                 payload += annexb_nal(ref_idc, nal_type, bw.to_bytes())
