@@ -13,8 +13,11 @@ encoder (`/root/reference`, a C single-header H.264 baseline encoder):
 Architecture (TPU-first, not a port):
 
 - Pixel math is batched over macroblocks as `(n_mb, 16, 16)` tensors and
-  runs as fused XLA ops / Pallas kernels on VMEM tiles; the per-MB scan
-  of the C encoder becomes an anti-diagonal *wavefront* `lax.scan`.
+  runs as fused XLA ops on VMEM tiles; the per-MB scan of the C encoder
+  becomes an anti-diagonal *wavefront* `lax.scan`. One Pallas kernel ships
+  (the bit-pack stitch, `ops/bitpack.py:pack_frame_pallas`) — the XLA path
+  is the default because this environment's tunneled TPU cannot execute
+  Pallas programs.
 - CAVLC symbols are computed for every 4x4 block in parallel on device;
   variable-length bit packing is a prefix-sum pass; NAL framing and
   emulation-prevention escaping run on host (native C++ fast path).

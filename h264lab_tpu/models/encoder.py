@@ -49,9 +49,11 @@ class FrameResult:
 
 
 class H264Encoder:
-    """Stream-level encoder. v1 capability: all-intra (I/IDR) frames with
-    Intra_16x16 + chroma prediction and CAVLC; P frames and the full GOP
-    machinery land next."""
+    """Stream-level encoder: IDR/I/P frames (Intra_16x16, Intra_4x4,
+    inter 16x16/16x8/8x16/8x8 with quarter-pel ME), long-term reference
+    policies, multi-slice bands, two-level rate control with VBV, and
+    in-loop deblocking — the single-stream counterpart of the scale-out
+    GopBandEncoder (h264lab_tpu.parallel.gop)."""
 
     def __init__(self, config: EncoderConfig):
         self.config = config
@@ -201,6 +203,17 @@ class H264Encoder:
             is_intra_frame, run.desired_frame_bytes,
             int(np.clip(run.qp_min, 10, 51)), int(np.clip(run.qp_max, 10, 51)))
         qpc = int(tables.QPC_FROM_QPY[qp])
+        bands = self._bands(run)
+        # fine (sub-frame) rate control: per-band QP offsets — the
+        # parallel analog of the reference's `rc_mb_end` along-the-scan
+        # correction (`src/h264-lab.h:6146-6179`); see rc.band_qp_offsets
+        if cfg.fine_rate_control_flag and len(bands) > 1:
+            band_qps = self.rc.band_qp_offsets(
+                len(bands), is_intra_frame, run.desired_frame_bytes,
+                int(np.clip(run.qp_min, 10, 51)),
+                int(np.clip(run.qp_max, 10, 51)))
+        else:
+            band_qps = [qp] * len(bands)
 
         # temporal denoise pre-filter (reference gating: flag set and
         # speed < 2, `src/h264-lab.h:6684-6697`)
@@ -223,7 +236,6 @@ class H264Encoder:
         # reference speed presets disable deblock at speeds 8 and 10
         # (`src/h264-lab.h:6717`)
         enable_deblock = run.encode_speed not in (8, 10)
-        bands = self._bands(run)
         # multi-slice: deblocking must not cross slice borders (idc 2,
         # reference multithread mode `src/h264-lab.h:4315-4323`)
         deblock_idc = (1 if not enable_deblock
@@ -274,11 +286,14 @@ class H264Encoder:
             bv = jnp.asarray(tv).reshape(n_bands, nmb_b, 8, 8)
             row0s = jnp.asarray(
                 np.arange(n_bands, dtype=np.int32) * rows)
+            qp_arr = jnp.asarray(np.asarray(band_qps, np.int32))
+            qpc_arr = jnp.asarray(np.asarray(
+                [int(tables.QPC_FROM_QPY[q]) for q in band_qps], np.int32))
             if is_intra_frame:
                 dummy = jnp.zeros((8, 8), jnp.uint8)
                 bout = mbscan.encode_frame_banded(
                     by, bu, bv, dummy, dummy, dummy, dummy,
-                    jnp.int32(qp), jnp.int32(qpc),
+                    qp_arr, qpc_arr,
                     steps, a_top, a_left, row0s,
                     mbw, rows, has_inter=False, enable_i4x4=True,
                     enable_deblock=enable_deblock)
@@ -288,7 +303,7 @@ class H264Encoder:
                     by, bu, bv,
                     ref["y_pad"], ref["u_pad"], ref["v_pad"],
                     ref["y4_pad"],
-                    jnp.int32(qp), jnp.int32(qpc),
+                    qp_arr, qpc_arr,
                     steps, a_top, a_left, row0s,
                     mbw, rows, has_inter=True,
                     enable_i4x4=enable_i4x4, enable_deblock=enable_deblock,
@@ -297,7 +312,7 @@ class H264Encoder:
             band_outs = [{k: v[b] for k, v in bout.items()}
                          for b in range(n_bands)]
 
-        for (row0, rows_b) in bands:
+        for bi, (row0, rows_b) in enumerate(bands):
             bw = BitWriter(capacity=1 << 16)
             shp = headers.SliceHeaderParams(
                 slice_type=(headers.SLICE_TYPE_I if is_intra_frame
@@ -307,7 +322,7 @@ class H264Encoder:
                 first_mb=row0 * mbw,
                 pps_id=self._pps_id,
                 idr_pic_id=self.idr_pic_id,
-                slice_qp=qp,
+                slice_qp=band_qps[bi],
                 pic_init_qp=PIC_INIT_QP,
                 disable_deblocking_filter_idc=deblock_idc,
                 long_term_idx_use=max(lt_use, 0) if not is_intra_frame else 0,
@@ -370,6 +385,7 @@ class H264Encoder:
         cfg = self.config
         run = pending.run
         payload = pending.sps_pps
+        band_bytes = []
         for out_b, (bw, shp) in zip(pending.band_outs, pending.band_hdrs):
             tail_len = int(out_b["tail_len"])
             mb_bits = int(out_b["total_bits"]) - tail_len
@@ -384,13 +400,15 @@ class H264Encoder:
             ref_idc, nal_type = headers.slice_nal_header_byte(shp)
             nal = annexb_nal(ref_idc, nal_type, bw.to_bytes())
             payload += nal
+            band_bytes.append(len(nal))
             if run.nalu_callback:
                 run.nalu_callback(nal, self.frames_encoded - 1)
         self._last_frame_bytes = len(payload)
 
         # rate control accounting + VBV actions
         actions = self.rc.frame_end(pending.is_intra, len(payload),
-                                    run.desired_frame_bytes)
+                                    run.desired_frame_bytes,
+                                    band_bytes=band_bytes)
         if actions["stuffing_bytes"] and cfg.vbv_underflow_stuffing_flag:
             payload += filler_nal(actions["stuffing_bytes"])
         if actions["overflow"]:

@@ -1084,19 +1084,27 @@ def encode_frame_banded_core(src_y, src_u, src_v,
 
     src_*: (B, nmb_band, 16, 16)/(B, nmb_band, 8, 8); row0s: (B,) first
     MB row of each band; reference planes are full-frame (replicated
-    across chips — motion vectors may cross band borders).
+    across chips — motion vectors may cross band borders). qp/qpc may be
+    scalars (uniform) or (B,) arrays — per-band QP is the fine-rate-
+    control granularity (rc.band_qp_offsets; each band is its own slice,
+    so per-band QP is plain slice_qp syntax, no mb_qp_delta needed).
     """
+    n_bands = src_y.shape[0]
     f = functools.partial(
         encode_frame_core,
         mb_width=mb_width, mb_height=band_rows, has_inter=has_inter,
         enable_i4x4=enable_i4x4, enable_deblock=enable_deblock,
         enable_partitions=enable_partitions, enable_qpel=enable_qpel)
 
-    def one(sy, su, sv, r0):
-        return f(sy, su, sv, ref_y_pad, ref_u_pad, ref_v_pad, ref4_pad,
-                 qp, qpc, steps, avail_top, avail_left, mb_row_offset=r0)
+    qp_b = jnp.broadcast_to(jnp.asarray(qp, jnp.int32), (n_bands,))
+    qpc_b = jnp.broadcast_to(jnp.asarray(qpc, jnp.int32), (n_bands,))
 
-    return jax.vmap(one)(src_y, src_u, src_v, row0s)
+    def one(sy, su, sv, r0, qp_1, qpc_1):
+        return f(sy, su, sv, ref_y_pad, ref_u_pad, ref_v_pad, ref4_pad,
+                 qp_1, qpc_1, steps, avail_top, avail_left,
+                 mb_row_offset=r0)
+
+    return jax.vmap(one)(src_y, src_u, src_v, row0s, qp_b, qpc_b)
 
 
 encode_frame_banded = jax.jit(

@@ -18,9 +18,19 @@ descent maps poorly onto a vector machine, so ME here is a regular
    quarter-sample neighbourhood is evaluated with statically-known
    fractional phases.
 
-Costs are SAD + lambda_me * mv-bits against a caller-supplied predictor
-(default (0,0); exact median-predictor MVD costs are applied in the
-post-scan symbolization).
+Costs are SAD + lambda_me * mv-bits against a *spatial predictor*
+derived in parallel from the coarse stage: because stage 1 is dense over
+the whole frame, the median of the left/top/top-right coarse winners
+(the 8.4.1.3 predictor shape) is available for every MB simultaneously —
+so the refine/sub-pel/partition costs track the actually-coded MVDs
+instead of a (0,0) predictor (reference candidate costing
+`src/h264-lab.h:5370-5412`, `:4952`), with no wavefront dependency. The
+same predictor drives the early-skip bias: a sub-pel position equal to
+the predictor with SAD under the skip threshold gets a bits bonus
+(reference early skip `src/h264-lab.h:5306-5350`); the authoritative
+skip decision (cbp==0 and mv==exact skip predictor, chroma included)
+stays in the post-scan symbolization. Exact median-predictor MVDs are
+likewise applied post-scan.
 
 The aligned windows also drive partition ME (16x8/8x16/8x8) with purely
 static slicing, and the winning predictions double as the motion-
@@ -38,6 +48,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from h264lab_tpu.ops import qpel
+from h264lab_tpu.ops.tuning import (SKIP_BIAS_BITS, SKIP_THR_BASE,
+                                    SKIP_THR_QP)
 
 COARSE_R4 = 8        # coarse search radius in 4x-downsampled pixels (=32)
 REFINE_R = 3         # full-pel refinement radius around the coarse winner
@@ -135,6 +147,33 @@ def _shift_select(x, sel, lo: int, hi: int, base: int, size: int, axis: int):
     return out
 
 
+def _median3(a, b, c):
+    return jnp.maximum(jnp.minimum(jnp.maximum(a, b), c),
+                       jnp.minimum(a, b))
+
+
+def spatial_predictor(dy, dx, mb_height: int, mb_width: int):
+    """Quarter-pel MV predictor per MB from the dense coarse field:
+    median of the left/top/top-right neighbours' coarse winners (the
+    8.4.1.3 neighbour shape; top-right falls back to top-left on the last
+    column, row 0 uses the left neighbour alone). dy/dx: (nmb,) coarse
+    (4x) px. Returns (mvp_y, mvp_x) in quarter-pel, (nmb,) int32."""
+    qy = (dy * 16).reshape(mb_height, mb_width)
+    qx = (dx * 16).reshape(mb_height, mb_width)
+
+    def shifts(q):
+        a = jnp.pad(q, ((0, 0), (1, 0)))[:, :-1]          # left
+        b = jnp.pad(q, ((1, 0), (0, 0)))[:-1, :]          # top
+        c = jnp.pad(q, ((1, 0), (0, 1)))[:-1, 1:]         # top-right
+        d = jnp.pad(q, ((1, 1), (1, 0)))[:-2, :-1]        # top-left
+        c = c.at[:, -1].set(d[:, -1])                     # TR -> TL fallback
+        med = _median3(a, b, c)
+        return med.at[0, :].set(a[0, :])                  # row 0: left only
+    my = shifts(qy)
+    mx = shifts(qx)
+    return my.reshape(-1), mx.reshape(-1)
+
+
 def _hpel_from_window(win):
     """6-tap half-pel values computed from aligned (k, 27, 27) int32
     full-pel windows (spec 8.4.2.2.1; reference kernels
@@ -222,6 +261,10 @@ def motion_search_dense(cur_plane, cur_tiles, ref_pad, ref4_pad,
     cy4, cx4 = coarse_search_4x(cur4, ref4_pad, lam, mb_height, mb_width,
                                 row_offset, mvp_y, mvp_x)
 
+    # spatial predictor from the dense coarse field: every later stage
+    # costs MV bits against it (see module docstring)
+    mvp_y, mvp_x = spatial_predictor(cy4, cx4, mb_height, mb_width)
+
     # one full-pel window per MB around the coarse winner
     win = _slice_windows(ref_pad, base_y + 4 * cy4 - WIN_M,
                          base_x + 4 * cx4 - WIN_M,
@@ -254,7 +297,7 @@ def motion_search_dense(cur_plane, cur_tiles, ref_pad, ref4_pad,
     A = _shift_select(A, best_dx, -REFINE_R, REFINE_R,
                       WIN_M - 5, ALN_S, axis=2)
     aux = dict(cy4=cy4, cx4=cx4, full_my=full_my, full_mx=full_mx,
-               wins=None)
+               wins=None, mvp_y=mvp_y, mvp_x=mvp_x)
 
     if not enable_subpel:
         pred = A[:, 5:21, 5:21]
@@ -265,6 +308,7 @@ def motion_search_dense(cur_plane, cur_tiles, ref_pad, ref4_pad,
     wins = _hpel_from_window(A)
     aux["wins"] = wins
 
+    skip_thr = SKIP_THR_BASE + qp.astype(jnp.int32) * SKIP_THR_QP
     best_cost = jnp.full((nmb,), 1 << 30, jnp.int32)
     best_yq = jnp.zeros((nmb,), jnp.int32)
     best_xq = jnp.zeros((nmb,), jnp.int32)
@@ -276,6 +320,11 @@ def motion_search_dense(cur_plane, cur_tiles, ref_pad, ref4_pad,
             mvy = full_my * 4 + dyq
             mvx = full_mx * 4 + dxq
             cost = sad + lam * (mv_bits(mvy - mvp_y) + mv_bits(mvx - mvp_x))
+            # early-skip bias: the position that would extend a skip run
+            # (mv == predictor) gets a bits bonus when its SAD clears the
+            # skip threshold (ops/tuning.py; ref `src/h264-lab.h:5306`)
+            at_pred = (mvy == mvp_y) & (mvx == mvp_x) & (sad < skip_thr)
+            cost = jnp.where(at_pred, cost - lam * SKIP_BIAS_BITS, cost)
             upd = cost < best_cost
             best_cost = jnp.where(upd, cost, best_cost)
             best_yq = jnp.where(upd, mvy, best_yq)
@@ -368,10 +417,15 @@ def partition_search(cur_tiles, aux, qp, mvp_y=None, mvp_x=None):
     full_my = aux["full_my"]
     full_mx = aux["full_mx"]
     k = cur_tiles.shape[0]
+    # default: the spatial predictor the 16x16 search costed against
     if mvp_y is None:
-        mvp_y = jnp.zeros((k,), jnp.int32)
+        mvp_y = aux.get("mvp_y")
+        if mvp_y is None:
+            mvp_y = jnp.zeros((k,), jnp.int32)
     if mvp_x is None:
-        mvp_x = jnp.zeros((k,), jnp.int32)
+        mvp_x = aux.get("mvp_x")
+        if mvp_x is None:
+            mvp_x = jnp.zeros((k,), jnp.int32)
 
     out = {}
     # 16x8 (top, bottom)

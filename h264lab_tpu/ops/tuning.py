@@ -19,10 +19,13 @@ I4_PENALTY_BITS = 16          # base syntax overhead of an Intra_4x4 MB
 PART_16X8_PENALTY_BITS = 12   # extra MVD/sub-type syntax per 2-part shape
 PART_8X8_PENALTY_BITS = 30    # and per 4-part shape
 
-# early-skip thresholds (reference `g_skip_thr_inter`-class gates,
-# `src/h264-lab.h:5306-5350`): a P MB whose SAD at the skip predictor is
-# below SKIP_THR_BASE + qp * SKIP_THR_QP (and whose chroma SAD confirms)
-# is coded as P_Skip without residual work
+# early-skip bias (reference `g_skip_thr_inter`-class gates,
+# `src/h264-lab.h:5306-5350`): a sub-pel ME position equal to the spatial
+# predictor whose SAD is below SKIP_THR_BASE + qp * SKIP_THR_QP gets a
+# SKIP_BIAS_BITS bits bonus — steering the search toward exactly-skippable
+# MVs. The authoritative skip decision (cbp==0 and mv==exact skip
+# predictor, chroma included — the reference's chroma confirmation) is
+# made in the post-scan symbolization (models/mbscan.py).
 SKIP_THR_BASE = 0
 SKIP_THR_QP = 8
-SKIP_THR_CHROMA_SHIFT = 2     # chroma SAD must be < luma_thr >> this
+SKIP_BIAS_BITS = 10           # ~ saved mb_type/cbp/mvd syntax of a skip MB

@@ -35,7 +35,7 @@ from h264lab_tpu.config import EncoderConfig, RunConfig
 from h264lab_tpu.models import mbscan, refstate, wavefront
 from h264lab_tpu.models.encoder import PIC_INIT_QP, FrameResult
 from h264lab_tpu.ops import bitpack, tables
-from h264lab_tpu.rc.ratecontrol import RateControl
+from h264lab_tpu.rc.ratecontrol import RateControl, filler_nal
 
 # worst-case packed words per MB: spec 7.4.5 caps macroblock_layer() at
 # 3200 bits; 128 words = 4096 bits of headroom
@@ -61,7 +61,8 @@ def _gop_banded_core(src_y, src_u, src_v, refs, qp, qpc,
     lane, device-side bit packing per (lane, band). src_*: (G, ph, pw)
     padded planes (MB tiling happens on device — only raw pixels cross
     PCIe); refs: per-lane reference pytree with leading G (or None for
-    intra); qp/qpc: (G,). Returns the batched out dict + packed words.
+    intra); qp/qpc: (G, B) per-band slice QPs (fine rate control)
+    or (G,) uniform. Returns the batched out dict + packed words.
 
     `cap_words` is a *typical-frame* capacity, not the worst case: the
     caller detects overflow (nbits > 32*cap_words) and re-dispatches the
@@ -118,12 +119,15 @@ _gop_banded = jax.jit(
 @dataclasses.dataclass
 class _PendingStep:
     out: dict
-    qps: list
+    qps: list                    # frame-level QP per lane
+    band_qps: list               # per-lane [per-band QP] (fine RC)
     is_idr: bool
     run: RunConfig
     n_bands: int
     frame_num: int
     return_recon: bool
+    transparent: list = None     # per-lane: emit an all-skip frame
+    old_refs: object = None      # pre-step refs (transparent-lane recon)
     redo_args: tuple = ()        # (positional args, static kwargs) for a
     redo_kwargs: dict = None     # capacity-overflow re-dispatch
 
@@ -158,6 +162,18 @@ class GopBandEncoder:
         self.per_lane_idr_pic_id = per_lane_idr_pic_id
         if cfg.mb_height % cfg.slice_bands:
             raise ValueError("slice_bands must divide mb_height")
+        # feature parity with H264Encoder is explicit: configs the
+        # GOP-parallel path does not implement are rejected, not
+        # silently downgraded
+        if cfg.max_long_term_reference_frames > 0:
+            raise ValueError(
+                "GopBandEncoder does not support long-term references "
+                "(lanes are closed GOPs with one short-term reference); "
+                "use H264Encoder for LTR frame-type policies")
+        if cfg.temporal_denoise_flag:
+            raise ValueError(
+                "GopBandEncoder does not support temporal denoising; "
+                "pre-filter the input or use H264Encoder")
         self.n_bands = cfg.slice_bands
         self.band_rows = cfg.mb_height // cfg.slice_bands
         # typical-frame packed capacity (~256 bits/MB to start); overflow
@@ -173,6 +189,7 @@ class GopBandEncoder:
         self.rc = [RateControl(cfg.n_mb, cfg.gop, cfg.vbv_size_bytes, cfg.qp)
                    for _ in range(n_gop)]
         self._refs = None
+        self._force_transparent = [False] * n_gop
         self._sps = headers.SpsParams(
             width=cfg.width, height=cfg.height,
             mb_width=cfg.mb_width, mb_height=cfg.mb_height,
@@ -217,16 +234,32 @@ class GopBandEncoder:
                   (cfg.gop and self.step_idx % cfg.gop == 0))
         has_inter = not is_idr and self._refs is not None
 
+        # VBV overflow policy per lane (reference `src/h264-lab.h:6497`):
+        # the lane's frame is replaced by an all-skip "transparent" frame
+        # in finish_step (the SPMD step still computes it — rare waste —
+        # but its reference/payload are discarded)
+        transparent = [self._force_transparent[g] and has_inter
+                       and cfg.vbv_overflow_empty_frame_flag
+                       for g in range(G)]
+        self._force_transparent = [False] * G
+
+        qmin = int(np.clip(run.qp_min, 10, 51))
+        qmax = int(np.clip(run.qp_max, 10, 51))
         qps = []
+        band_qps = []
         for g in range(G):
             qp = self.rc[g].frame_start(
-                not has_inter, run.desired_frame_bytes,
-                int(np.clip(run.qp_min, 10, 51)),
-                int(np.clip(run.qp_max, 10, 51)))
+                not has_inter, run.desired_frame_bytes, qmin, qmax)
             qps.append(qp)
-        qp_arr = jnp.asarray(np.asarray(qps, np.int32))
+            if cfg.fine_rate_control_flag and B > 1:
+                band_qps.append(self.rc[g].band_qp_offsets(
+                    B, not has_inter, run.desired_frame_bytes, qmin, qmax))
+            else:
+                band_qps.append([qp] * B)
+        qp_arr = jnp.asarray(np.asarray(band_qps, np.int32))      # (G, B)
         qpc_arr = jnp.asarray(
-            np.asarray([int(tables.QPC_FROM_QPY[q]) for q in qps], np.int32))
+            np.asarray([[int(tables.QPC_FROM_QPY[q]) for q in row]
+                        for row in band_qps], np.int32))
 
         mbw = cfg.mb_width
         ph, pw = cfg.padded_height, cfg.padded_width
@@ -263,14 +296,25 @@ class GopBandEncoder:
                       enable_qpel=enable_qpel)
         out, new_refs = _gop_banded(*args, cap_words=self.cap_words,
                                     **kwargs)
-        self._refs = new_refs
+        old_refs = self._refs
+        if any(transparent) and old_refs is not None:
+            # transparent lanes keep their previous reference picture
+            mask = jnp.asarray(np.asarray(transparent))
+            self._refs = jax.tree_util.tree_map(
+                lambda old, new: jnp.where(
+                    mask.reshape((G,) + (1,) * (new.ndim - 1)), old, new),
+                old_refs, new_refs)
+        else:
+            self._refs = new_refs
 
         self.step_idx += 1
         fn_use = 0 if is_idr else self.frame_num
         self.frame_num = (fn_use + 1) % (1 << headers.FRAME_NUM_BITS)
-        return _PendingStep(out=out, qps=qps, is_idr=is_idr, run=run,
+        return _PendingStep(out=out, qps=qps, band_qps=band_qps,
+                            is_idr=is_idr, run=run,
                             n_bands=B, frame_num=fn_use,
                             return_recon=return_recon,
+                            transparent=transparent, old_refs=old_refs,
                             redo_args=args, redo_kwargs=kwargs)
 
     def finish_step(self, p: _PendingStep):
@@ -301,47 +345,72 @@ class GopBandEncoder:
         deblock_idc = 2 if B > 1 else 0
         results = []
         for g in range(G):
+            is_transparent = bool(p.transparent and p.transparent[g])
             payload = b""
+            band_bytes = []
             if p.is_idr:
                 payload += headers.sps_nal(self._sps)
                 payload += headers.pps_nal(cfg.sps_id, 0, PIC_INIT_QP)
-            for b in range(B):
-                bw = BitWriter(capacity=1 << 16)
-                shp = headers.SliceHeaderParams(
-                    slice_type=(headers.SLICE_TYPE_I if p.is_idr
-                                else headers.SLICE_TYPE_P),
-                    is_idr=p.is_idr,
-                    frame_num=frame_num,
-                    first_mb=b * self.band_rows * cfg.mb_width,
-                    pps_id=cfg.sps_id * 4,
-                    idr_pic_id=(self.idr_pic_id_base
-                                + (g if self.per_lane_idr_pic_id else 0))
-                    % 16,
-                    slice_qp=p.qps[g],
-                    pic_init_qp=PIC_INIT_QP,
-                    disable_deblocking_filter_idc=deblock_idc,
-                    long_term_idx_update=0,
-                    max_long_term_frames=0)
-                headers.write_slice_header_rbsp(bw, shp)
-                mb_bits = int(nbits[g, b])
-                bw.append_bits_bytes(
-                    bitpack.words_to_bytes(words[g, b], mb_bits), mb_bits)
-                if int(tails_l[g, b]):
-                    bw.u(int(tails_l[g, b]), int(tails_v[g, b]))
-                bw.rbsp_trailing_bits()
-                ref_idc, nal_type = headers.slice_nal_header_byte(shp)
-                payload += annexb_nal(ref_idc, nal_type, bw.to_bytes())
-            self.rc[g].frame_end(p.is_idr, len(payload),
-                                 p.run.desired_frame_bytes)
+            if is_transparent:
+                payload += self._transparent_nal(frame_num, p.qps[g])
+            else:
+                for b in range(B):
+                    bw = BitWriter(capacity=1 << 16)
+                    shp = headers.SliceHeaderParams(
+                        slice_type=(headers.SLICE_TYPE_I if p.is_idr
+                                    else headers.SLICE_TYPE_P),
+                        is_idr=p.is_idr,
+                        frame_num=frame_num,
+                        first_mb=b * self.band_rows * cfg.mb_width,
+                        pps_id=cfg.sps_id * 4,
+                        idr_pic_id=(self.idr_pic_id_base
+                                    + (g if self.per_lane_idr_pic_id
+                                       else 0)) % 16,
+                        slice_qp=p.band_qps[g][b],
+                        pic_init_qp=PIC_INIT_QP,
+                        disable_deblocking_filter_idc=deblock_idc,
+                        long_term_idx_update=0,
+                        max_long_term_frames=0)
+                    headers.write_slice_header_rbsp(bw, shp)
+                    mb_bits = int(nbits[g, b])
+                    bw.append_bits_bytes(
+                        bitpack.words_to_bytes(words[g, b], mb_bits),
+                        mb_bits)
+                    if int(tails_l[g, b]):
+                        bw.u(int(tails_l[g, b]), int(tails_v[g, b]))
+                    bw.rbsp_trailing_bits()
+                    ref_idc, nal_type = headers.slice_nal_header_byte(shp)
+                    nal = annexb_nal(ref_idc, nal_type, bw.to_bytes())
+                    payload += nal
+                    band_bytes.append(len(nal))
+            actions = self.rc[g].frame_end(
+                p.is_idr, len(payload), p.run.desired_frame_bytes,
+                band_bytes=band_bytes or None)
+            if (actions["stuffing_bytes"]
+                    and cfg.vbv_underflow_stuffing_flag):
+                payload += filler_nal(actions["stuffing_bytes"])
+            if actions["overflow"]:
+                self._force_transparent[g] = True
             recon = None
             if return_recon:
                 mbh = cfg.mb_height
-                ry = wavefront.tiles_to_plane(
-                    np.asarray(p.out["df_y"][g]), mbh, cfg.mb_width)
-                ru = wavefront.tiles_to_plane(
-                    np.asarray(p.out["df_u"][g]), mbh, cfg.mb_width)
-                rv = wavefront.tiles_to_plane(
-                    np.asarray(p.out["df_v"][g]), mbh, cfg.mb_width)
+                if is_transparent:
+                    # recon == the lane's (unchanged) reference picture
+                    from h264lab_tpu.ops import qpel
+                    gy = qpel.GUARD
+                    gc = qpel.GUARD // 2
+                    ref_g = jax.tree_util.tree_map(lambda a: a[g],
+                                                   p.old_refs)
+                    ry = np.asarray(ref_g["y_pad"])[gy:-gy, gy:-gy]
+                    ru = np.asarray(ref_g["u_pad"])[gc:-gc, gc:-gc]
+                    rv = np.asarray(ref_g["v_pad"])[gc:-gc, gc:-gc]
+                else:
+                    ry = wavefront.tiles_to_plane(
+                        np.asarray(p.out["df_y"][g]), mbh, cfg.mb_width)
+                    ru = wavefront.tiles_to_plane(
+                        np.asarray(p.out["df_u"][g]), mbh, cfg.mb_width)
+                    rv = wavefront.tiles_to_plane(
+                        np.asarray(p.out["df_v"][g]), mbh, cfg.mb_width)
                 recon = (ry[:cfg.height, :cfg.width],
                          ru[:cfg.height // 2, :cfg.width // 2],
                          rv[:cfg.height // 2, :cfg.width // 2])
@@ -349,6 +418,28 @@ class GopBandEncoder:
                 payload=payload, frame_type="IDR" if p.is_idr else "P",
                 qp=p.qps[g], recon=recon))
         return results
+
+    def _transparent_nal(self, frame_num: int, qp: int) -> bytes:
+        """All-skip P frame for one lane (one slice covering the picture;
+        reconstruction equals the reference picture exactly — reference
+        `src/h264-lab.h:6497-6508`)."""
+        cfg = self.config
+        bw = BitWriter()
+        shp = headers.SliceHeaderParams(
+            slice_type=headers.SLICE_TYPE_P,
+            is_idr=False,
+            frame_num=frame_num,
+            pps_id=cfg.sps_id * 4,
+            slice_qp=qp,
+            pic_init_qp=PIC_INIT_QP,
+            disable_deblocking_filter_idc=1,
+            long_term_idx_update=0,
+            max_long_term_frames=0)
+        headers.write_slice_header_rbsp(bw, shp)
+        bw.ue(cfg.n_mb)          # mb_skip_run covering the whole picture
+        bw.rbsp_trailing_bits()
+        ref_idc, nal_type = headers.slice_nal_header_byte(shp)
+        return annexb_nal(ref_idc, nal_type, bw.to_bytes())
 
 
 def encode_stream(frames, config: EncoderConfig, n_gop: int | None = None,

@@ -1,22 +1,29 @@
 """Two-level rate control with a VBV buffer model.
 
-Re-implementation of the reference's frame-level RC capability surface
-(`rc_frame_start` `src/h264-lab.h:5924-6070`, `rc_frame_end` `:6075-6141`):
+Re-implementation of the reference's rate-control capability surface
+(`rc_frame_start` `src/h264-lab.h:5924-6070`, `rc_frame_end` `:6075-6141`,
+MB-level `rc_mb_end` `:6146-6179`):
 
-- per-frame QP chosen from a bits-per-MB model plus VBV-drift feedback
+- per-frame QP chosen from an adaptive per-QP bits/MB LUT plus VBV-drift
+  feedback (the reference's fitted `bits_per_mb` LUT `src/h264-lab.h:933`,
+  re-fitted online rather than transcribed)
 - qp_min/qp_max clamping from the run params
 - VBV fullness tracking with the reference's two policies:
   overflow -> "transparent" all-skip frame, underflow -> filler NALUs
+- fine (sub-frame) rate control at slice-band granularity: the parallel
+  analog of `rc_mb_end`'s along-the-scan QP correction. Bands encode in
+  parallel, so the drift loop runs on *predicted* per-band bits (the
+  previous frame's measured band shares scaled by the QP step law) and
+  assigns each band a QP offset before dispatch — same control law,
+  prediction instead of running feedback (see band_qp_offsets).
 
-The bits model is an exponential fit (bits halve every 6 QP steps, the
-H.264 quantizer-step doubling law) with separate I/P gains, adapted
-online from actual frame sizes — the same feedback structure as the
-reference's LUT + dqp adaptation, re-fitted rather than transcribed.
+The a-priori model is an exponential fit (bits halve every 6 QP steps,
+the H.264 quantizer-step doubling law) with separate I/P scales; the LUT
+adapts it per QP from actual frame sizes.
 """
 
 from __future__ import annotations
 
-import dataclasses
 import math
 
 
@@ -26,17 +33,20 @@ def _model_bits_per_mb(qp: int, is_intra: bool) -> float:
     return base * 2.0 ** ((10 - qp) / 6.0)
 
 
-@dataclasses.dataclass
+QP_MIN_TAB, QP_MAX_TAB = 10, 51
+
+
 class VbvState:
-    size_bits: int = 0          # 0 = VBV disabled
-    fullness: float = 0.0       # bits currently in the buffer
+    def __init__(self, size_bits: int = 0, fullness: float = 0.0):
+        self.size_bits = size_bits      # 0 = VBV disabled
+        self.fullness = fullness        # bits currently in the buffer
 
     def configured(self) -> bool:
         return self.size_bits > 0
 
 
 class RateControl:
-    """Frame-level rate control. One instance per encoder stream."""
+    """Frame-level + band-level rate control. One instance per stream."""
 
     def __init__(self, n_mb: int, gop: int, vbv_size_bytes: int = 0,
                  initial_qp: int = 33):
@@ -46,10 +56,17 @@ class RateControl:
         self.prev_qp = initial_qp
         self.vbv = VbvState(size_bits=vbv_size_bytes * 8,
                             fullness=vbv_size_bytes * 4)  # start half full
-        # online correction factors (actual/model), one per frame class
-        self._gain = {True: 1.0, False: 1.0}
+        # adaptive bits/MB LUT, one per frame class, indexed by QP:
+        # lut[qp] = measured/a-priori correction factor (log domain)
+        self._lut = {True: [0.0] * (QP_MAX_TAB + 1),
+                     False: [0.0] * (QP_MAX_TAB + 1)}
+        self._band_shares = None        # prev frame per-band bit fractions
 
     # ------------------------------------------------------------------
+    def _bits_per_mb(self, qp: int, is_intra: bool) -> float:
+        return (_model_bits_per_mb(qp, is_intra)
+                * math.exp(self._lut[is_intra][qp]))
+
     def frame_start(self, is_intra: bool, desired_frame_bytes: int,
                     qp_min: int, qp_max: int) -> int:
         """Pick the frame QP. Returns the QP to use."""
@@ -70,34 +87,81 @@ class RateControl:
             target_bits += 0.25 * (half - self.vbv.fullness)
             target_bits = max(target_bits, self.n_mb)  # floor
 
-        # invert the bits model for qp
+        # invert the LUT-corrected bits model for qp (first QP at or
+        # below the per-MB budget; the LUT keeps the model near-monotone)
         per_mb = target_bits / self.n_mb
-        gain = self._gain[is_intra]
         best_qp = qp_min
         for q in range(qp_min, qp_max + 1):
-            if _model_bits_per_mb(q, is_intra) * gain <= per_mb:
-                best_qp = q
-                break
             best_qp = q
+            if self._bits_per_mb(q, is_intra) <= per_mb:
+                break
         # limit frame-to-frame QP swing (reference dqp adaptation)
         best_qp = max(self.prev_qp - 3, min(self.prev_qp + 3, best_qp))
         self.qp = max(qp_min, min(qp_max, best_qp))
         return self.qp
 
     # ------------------------------------------------------------------
+    def band_qp_offsets(self, n_bands: int, is_intra: bool,
+                        desired_frame_bytes: int,
+                        qp_min: int, qp_max: int) -> list:
+        """Per-band QP for fine (sub-frame) rate control — the parallel
+        analog of the reference's `rc_mb_end` along-the-scan correction
+        (`src/h264-lab.h:6146-6179`). Simulates the scan over bands with
+        the previous frame's measured band shares as the bits predictor:
+        a band that is predicted to push the running total over the
+        pro-rata budget encodes at a higher QP, and vice versa. Returns
+        n_bands QPs (clamped to [qp_min, qp_max], offsets within +-2 of
+        the frame QP). With no history or no byte target, uniform QPs."""
+        qp = self.qp
+        if (desired_frame_bytes <= 0 or n_bands < 2 or qp_min == qp_max
+                or self._band_shares is None
+                or len(self._band_shares) != n_bands):
+            return [max(qp_min, min(qp_max, qp))] * n_bands
+
+        target = desired_frame_bytes * 8
+        if is_intra and self.gop > 1:
+            target *= min(4.0, 1.0 + self.gop / 8.0)
+        frame_pred = self._bits_per_mb(qp, is_intra) * self.n_mb
+        qps = []
+        cum_spent = 0.0
+        cum_budget = 0.0
+        for b in range(n_bands):
+            drift = (cum_spent - cum_budget) / max(target, 1.0)
+            dqp = max(-2, min(2, round(8.0 * drift)))
+            q = max(qp_min, min(qp_max, qp + dqp))
+            qps.append(q)
+            # predicted bits of this band at its adjusted QP
+            band_pred = (frame_pred * self._band_shares[b]
+                         * 2.0 ** ((qp - q) / 6.0))
+            cum_spent += band_pred
+            cum_budget += target / n_bands
+        return qps
+
+    # ------------------------------------------------------------------
     def frame_end(self, is_intra: bool, actual_bytes: int,
-                  desired_frame_bytes: int) -> dict:
+                  desired_frame_bytes: int,
+                  band_bytes: list | None = None) -> dict:
         """Account the coded frame. Returns VBV actions:
         {"stuffing_bytes": int, "overflow": bool}."""
         actual_bits = actual_bytes * 8
         self.prev_qp = self.qp
 
-        # adapt the model gain (EWMA of actual/model)
+        # adapt the LUT at the encoded QP (EWMA in log domain), and
+        # propagate a damped copy to the neighbours so rarely-visited
+        # QPs track as well
         model = _model_bits_per_mb(self.qp, is_intra) * self.n_mb
         if model > 0 and actual_bits > 0:
-            ratio = min(max(actual_bits / model, 0.1), 10.0)
-            g = self._gain[is_intra]
-            self._gain[is_intra] = 0.75 * g + 0.25 * ratio
+            err = math.log(min(max(actual_bits / model, 0.1), 10.0))
+            lut = self._lut[is_intra]
+            lut[self.qp] = 0.75 * lut[self.qp] + 0.25 * err
+            for dq in (-2, -1, 1, 2):
+                q = self.qp + dq
+                if QP_MIN_TAB <= q <= QP_MAX_TAB:
+                    lut[q] = 0.9 * lut[q] + 0.1 * err
+
+        if band_bytes and sum(band_bytes) > 0:
+            tot = float(sum(band_bytes))
+            self._band_shares = [b / tot for b in band_bytes]
 
         out = {"stuffing_bytes": 0, "overflow": False}
         if self.vbv.configured() and desired_frame_bytes > 0:
@@ -123,13 +187,18 @@ class RateControl:
         """Snapshot of all mutable RC state (checkpoint/resume)."""
         return {"qp": self.qp, "prev_qp": self.prev_qp,
                 "vbv_fullness": self.vbv.fullness,
-                "gain_i": self._gain[True], "gain_p": self._gain[False]}
+                "lut_i": list(self._lut[True]),
+                "lut_p": list(self._lut[False]),
+                "band_shares": (None if self._band_shares is None
+                                else list(self._band_shares))}
 
     def set_state(self, st: dict):
         self.qp = st["qp"]
         self.prev_qp = st["prev_qp"]
         self.vbv.fullness = st["vbv_fullness"]
-        self._gain = {True: st["gain_i"], False: st["gain_p"]}
+        self._lut = {True: list(st["lut_i"]), False: list(st["lut_p"])}
+        bs = st.get("band_shares")
+        self._band_shares = None if bs is None else list(bs)
 
 
 def filler_nal(n_payload_bytes: int) -> bytes:

@@ -1,0 +1,293 @@
+"""RD parity vs the C reference encoder (BASELINE.md quality axis).
+
+Encodes the same sequences with the reference encoder (built hermetically
+from ``/root/reference/src/h264-lab.h``, driven with the reference
+driver's create/run parameters — ``src/minih264e_test.c:507-604``) and
+with ``H264Encoder`` over the QP ladder the reference's own test script
+uses (``/root/reference/scripts/enc_test.bat:2-3``: QP 22/27/32/37), then
+compares *PSNR at equal bitrate*: for each of our operating points, the
+reference's RD curve (luma PSNR vs log-bitrate, piecewise-linear) is
+interpolated at our measured bitrate and our PSNR must not fall more than
+``MARGIN_DB`` below it.
+
+Run directly for a human-readable RD table + ``RD_RESULTS.md`` refresh:
+
+    python tests/rd_compare.py [--update]
+
+Under pytest the comparison is a hard assertion, so any silent RD
+regression in ME / mode decision / TQ / entropy tuning fails the suite.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from h264lab_tpu.utils.synthetic import chessboard_sequence  # noqa: E402
+from h264lab_tpu.utils.metrics import PsnrAccumulator  # noqa: E402
+
+REF_SRC = "/root/reference/src"
+RESULTS_MD = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "..", "RD_COMPARE.md")
+
+W, H, N_FRAMES, GOP, SPEED = 128, 96, 12, 12, 1
+QP_LADDER = (22, 27, 32, 37)
+# Our operating points may sit up to this much below the reference's
+# interpolated luma PSNR at the same bitrate (measured slack is recorded
+# in RD_RESULTS.md; the margin is the guard band against noise, not a
+# quality target).
+MARGIN_DB = 0.25
+
+DRIVER_C = r"""
+/* RD-ladder driver for the reference encoder (not part of the
+ * framework): encode N YUV420 frames at each fixed QP of a ladder with
+ * in-place reconstruction; emit "<qp> <bytes>" lines and dump recon. */
+#include <stdio.h>
+#include <stdlib.h>
+#include <string.h>
+#include "h264-lab.h"
+
+int main(int argc, char **argv)
+{
+    int w = atoi(argv[1]), h = atoi(argv[2]), n = atoi(argv[3]);
+    int speed = atoi(argv[4]), gop = atoi(argv[5]);
+    const char *yuv_path = argv[6], *rec_base = argv[7];
+    int frame_size = w * h * 3 / 2, i, q, err;
+    unsigned char *buf = malloc(frame_size + 64);
+
+    for (q = 8; q < argc; q++)
+    {
+        int qp = atoi(argv[q]);
+        int sizeof_persist = 0, sizeof_scratch = 0;
+        long total = 0;
+        char rec_path[1024];
+        FILE *fin = fopen(yuv_path, "rb");
+        FILE *frec;
+        H264E_create_param_t cp;
+        H264E_run_param_t rp;
+        H264E_io_yuv_t yuv;
+        H264E_persist_t *enc;
+        H264E_scratch_t *scratch;
+
+        snprintf(rec_path, sizeof(rec_path), "%s.qp%d.yuv", rec_base, qp);
+        frec = fopen(rec_path, "wb");
+        memset(&cp, 0, sizeof(cp));
+        cp.width = w;
+        cp.height = h;
+        cp.gop = gop;
+        cp.vbv_size_bytes = 100000 / 8;   /* minih264e_test.c:524 */
+        cp.const_input_flag = 0;
+        cp.enableNEON = 1;
+#if H264E_SVC_API
+        cp.num_layers = 1;
+#endif
+        err = H264E_sizeof(&cp, &sizeof_persist, &sizeof_scratch);
+        if (err) return 1;
+        enc = malloc(sizeof_persist);
+        scratch = malloc(sizeof_scratch);
+        err = H264E_init(enc, &cp);
+        if (err) return 1;
+
+        for (i = 0; i < n; i++)
+        {
+            unsigned char *coded;
+            int coded_size = 0;
+            if (fread(buf, frame_size, 1, fin) != 1) return 2;
+            yuv.yuv[0] = buf;                 yuv.stride[0] = w;
+            yuv.yuv[1] = buf + w * h;         yuv.stride[1] = w / 2;
+            yuv.yuv[2] = buf + w * h * 5 / 4; yuv.stride[2] = w / 2;
+            memset(&rp, 0, sizeof(rp));
+            rp.encode_speed = speed;
+            rp.qp_min = rp.qp_max = qp;
+            err = H264E_encode(enc, scratch, &rp, &yuv,
+                               &coded, &coded_size);
+            if (err) return 1;
+            total += coded_size;
+            fwrite(buf, frame_size, 1, frec);
+        }
+        printf("%d %ld\n", qp, total);
+        fclose(fin);
+        fclose(frec);
+        free(enc);
+        free(scratch);
+    }
+    return 0;
+}
+"""
+
+
+def _sequence_bytes():
+    chunks = []
+    frames = []
+    for y, u, v in chessboard_sequence(W, H, N_FRAMES):
+        chunks.append(y.tobytes() + u.tobytes() + v.tobytes())
+        frames.append((y, u, v))
+    return b"".join(chunks), frames
+
+
+def run_reference_ladder(frames, raw):
+    """(qp -> {bytes, psnr_y, kbps}) from the C reference encoder."""
+    out = {}
+    with tempfile.TemporaryDirectory() as td:
+        src = os.path.join(td, "driver.c")
+        exe = os.path.join(td, "ref_rd")
+        yin = os.path.join(td, "in.yuv")
+        rec_base = os.path.join(td, "rec")
+        with open(src, "w") as f:
+            f.write(DRIVER_C)
+        with open(yin, "wb") as f:
+            f.write(raw)
+        subprocess.check_call(
+            ["gcc", "-O2", "-I", REF_SRC, "-o", exe, src, "-lm"])
+        lines = subprocess.check_output(
+            [exe, str(W), str(H), str(N_FRAMES), str(SPEED), str(GOP),
+             yin, rec_base] + [str(q) for q in QP_LADDER]).decode()
+        for line in lines.strip().splitlines():
+            qp_s, bytes_s = line.split()
+            qp, total = int(qp_s), int(bytes_s)
+            acc = PsnrAccumulator()
+            with open(f"{rec_base}.qp{qp}.yuv", "rb") as f:
+                for (y, u, v) in frames:
+                    ry = np.frombuffer(f.read(W * H), np.uint8).reshape(H, W)
+                    ru = np.frombuffer(f.read(W * H // 4), np.uint8) \
+                        .reshape(H // 2, W // 2)
+                    rv = np.frombuffer(f.read(W * H // 4), np.uint8) \
+                        .reshape(H // 2, W // 2)
+                    acc.add((y, u, v), (ry, ru, rv), 0)
+            rep = acc.report()
+            out[qp] = dict(bytes=total, psnr_y=rep.psnr_y,
+                           psnr_u=rep.psnr_u, psnr_v=rep.psnr_v,
+                           kbps=total * 8.0 / (N_FRAMES / 30.0) / 1000.0)
+    return out
+
+
+def run_ours_ladder(frames):
+    """(qp -> {bytes, psnr_y, kbps}) from H264Encoder at the same ladder."""
+    from h264lab_tpu.config import EncoderConfig, RunConfig
+    from h264lab_tpu.models.encoder import H264Encoder
+
+    out = {}
+    for qp in QP_LADDER:
+        cfg = EncoderConfig(width=W, height=H, gop=GOP, qp=qp)
+        enc = H264Encoder(cfg)
+        run = RunConfig(qp_min=qp, qp_max=qp, encode_speed=SPEED)
+        acc = PsnrAccumulator()
+        total = 0
+        for (y, u, v) in frames:
+            r = enc.encode(y, u, v, run, return_recon=True)
+            total += len(r.payload)
+            acc.add((y, u, v), r.recon, 0)
+        rep = acc.report()
+        out[qp] = dict(bytes=total, psnr_y=rep.psnr_y,
+                       psnr_u=rep.psnr_u, psnr_v=rep.psnr_v,
+                       kbps=total * 8.0 / (N_FRAMES / 30.0) / 1000.0)
+    return out
+
+
+def psnr_at_rate(curve, kbps):
+    """Piecewise-linear luma PSNR of `curve` (qp -> stats) at bitrate
+    `kbps`, interpolated in (log-rate, PSNR) space; linear extrapolation
+    at the ends (RD curves are near-affine in log-rate locally)."""
+    pts = sorted((c["kbps"], c["psnr_y"]) for c in curve.values())
+    xs = [math.log(p[0]) for p in pts]
+    ys = [p[1] for p in pts]
+    x = math.log(kbps)
+    if x <= xs[0]:
+        i = 0
+    elif x >= xs[-1]:
+        i = len(xs) - 2
+    else:
+        i = max(j for j in range(len(xs) - 1) if xs[j] <= x)
+    t = (x - xs[i]) / (xs[i + 1] - xs[i])
+    return ys[i] + t * (ys[i + 1] - ys[i])
+
+
+def compare(ref, ours):
+    """Per-QP: our PSNR minus the reference's PSNR at our bitrate."""
+    rows = []
+    for qp in QP_LADDER:
+        o = ours[qp]
+        ref_at_our_rate = psnr_at_rate(ref, o["kbps"])
+        rows.append(dict(
+            qp=qp,
+            ref_kbps=ref[qp]["kbps"], ref_psnr=ref[qp]["psnr_y"],
+            our_kbps=o["kbps"], our_psnr=o["psnr_y"],
+            ref_psnr_at_our_rate=ref_at_our_rate,
+            delta_db=o["psnr_y"] - ref_at_our_rate))
+    return rows
+
+
+def render_md(rows):
+    lines = [
+        "# RD parity vs the C reference encoder",
+        "",
+        f"Sequence: {W}x{H} rotating chessboard, {N_FRAMES} frames, "
+        f"gop={GOP}, encode_speed={SPEED}, fixed-QP ladder "
+        f"{list(QP_LADDER)} (the reference's own test ladder, "
+        "`/root/reference/scripts/enc_test.bat:2-3`).",
+        "",
+        "delta_db = our luma PSNR minus the reference RD curve "
+        "interpolated at our bitrate (log-rate piecewise-linear). "
+        f"The pytest gate (`tests/rd_compare.py`) fails below "
+        f"-{MARGIN_DB} dB.",
+        "",
+        "| QP | ref kbps | ref Y-PSNR | ours kbps | ours Y-PSNR | "
+        "ref PSNR @ our rate | delta (dB) |",
+        "|---:|---:|---:|---:|---:|---:|---:|",
+    ]
+    for r in rows:
+        lines.append(
+            f"| {r['qp']} | {r['ref_kbps']:.1f} | {r['ref_psnr']:.2f} | "
+            f"{r['our_kbps']:.1f} | {r['our_psnr']:.2f} | "
+            f"{r['ref_psnr_at_our_rate']:.2f} | {r['delta_db']:+.2f} |")
+    lines.append("")
+    return "\n".join(lines)
+
+
+@pytest.fixture(scope="module")
+def rd_rows():
+    raw, frames = _sequence_bytes()
+    ref = run_reference_ladder(frames, raw)
+    ours = run_ours_ladder(frames)
+    return compare(ref, ours)
+
+
+def test_rd_parity_vs_reference(rd_rows):
+    """Our PSNR-at-equal-bitrate must not trail the reference by more
+    than MARGIN_DB at any ladder point."""
+    for r in rd_rows:
+        assert r["delta_db"] >= -MARGIN_DB, (
+            f"QP {r['qp']}: ours {r['our_psnr']:.2f} dB @ "
+            f"{r['our_kbps']:.1f} kbps vs reference "
+            f"{r['ref_psnr_at_our_rate']:.2f} dB at the same rate "
+            f"(delta {r['delta_db']:+.2f} dB)")
+
+
+def main() -> int:
+    raw, frames = _sequence_bytes()
+    ref = run_reference_ladder(frames, raw)
+    ours = run_ours_ladder(frames)
+    rows = compare(ref, ours)
+    md = render_md(rows)
+    print(md)
+    print(json.dumps(rows, indent=1))
+    if "--update" in sys.argv:
+        with open(RESULTS_MD, "w") as f:
+            f.write(md)
+        print(f"wrote {RESULTS_MD}")
+    worst = min(r["delta_db"] for r in rows)
+    print(f"worst delta: {worst:+.2f} dB (margin -{MARGIN_DB})")
+    return 0 if worst >= -MARGIN_DB else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -77,3 +77,44 @@ def test_mesh_sharded_stream_matches_and_decodes(run):
         for plane_dec, plane_enc in zip(df.cropped(dec.sps), recons[t]):
             assert np.array_equal(np.asarray(plane_dec),
                                   np.asarray(plane_enc))
+
+
+def test_gop_encoder_rejects_unsupported_configs():
+    cfg = EncoderConfig(width=W, height=H, gop=3, qp=QP,
+                        max_long_term_reference_frames=2)
+    with pytest.raises(ValueError):
+        GopBandEncoder(cfg, n_gop=2)
+    cfg = EncoderConfig(width=W, height=H, gop=3, qp=QP,
+                        temporal_denoise_flag=True)
+    with pytest.raises(ValueError):
+        GopBandEncoder(cfg, n_gop=2)
+
+
+def test_gop_encoder_vbv_transparent_and_decode():
+    """Feature parity with H264Encoder's VBV policies in GOP-parallel
+    mode: a tiny VBV forces per-lane transparent (all-skip) frames, the
+    lane streams stay decodable, and the decode matches the lane recon."""
+    cfg = EncoderConfig(width=64, height=48, gop=0, qp=20,
+                        vbv_size_bytes=400,
+                        vbv_overflow_empty_frame_flag=True)
+    enc = GopBandEncoder(cfg, n_gop=2)
+    run = RunConfig(desired_frame_bytes=100, qp_min=20, qp_max=24)
+    streams = [b"", b""]
+    sizes = [[], []]
+    recons = [[], []]
+    for (y, u, v) in chessboard_sequence(64, 48, 5):
+        for g, r in enumerate(enc.encode_step([(y, u, v)] * 2, run,
+                                              return_recon=True)):
+            streams[g] += r.payload
+            sizes[g].append(len(r.payload))
+            recons[g].append(r.recon)
+    # tiny VBV must trigger at least one all-skip frame per lane
+    assert any(s < 30 for s in sizes[0][1:]), sizes[0]
+    assert streams[0] == streams[1]
+    dec = H264Decoder()
+    frames = dec.decode(streams[0])
+    assert len(frames) == 5
+    for t, df in enumerate(frames):
+        got = df.cropped(dec.sps)
+        for pd, pe in zip(got, recons[0][t]):
+            assert np.array_equal(np.asarray(pd), np.asarray(pe)), t

@@ -69,3 +69,54 @@ def test_transparent_frame_on_overflow():
     dec = H264Decoder()
     frames = dec.decode(stream)
     assert len(frames) == 5
+
+
+def test_band_qp_offsets_counteract_drift():
+    """A band predicted to blow the running budget encodes at higher QP;
+    one far under encodes lower (the rc_mb_end control-law analog)."""
+    rc = RateControl(n_mb=96, gop=10, vbv_size_bytes=0, initial_qp=30)
+    rc.frame_start(False, 500, 10, 50)
+    # skewed history: band 0 takes 70% of the frame's bits
+    rc.frame_end(False, 520, 500, band_bytes=[364, 52, 52, 52])
+    rc.frame_start(False, 500, 10, 50)
+    qps = rc.band_qp_offsets(4, False, 500, 10, 50)
+    assert len(qps) == 4
+    # after the heavy band the running total is over budget -> later
+    # bands must not encode at a lower QP than band 0
+    assert qps[1] >= qps[0], qps
+    assert max(qps) - min(qps) <= 4
+    # uniform history -> uniform QPs
+    rc.frame_end(False, 500, 500, band_bytes=[125] * 4)
+    rc.frame_start(False, 500, 10, 50)
+    assert len(set(rc.band_qp_offsets(4, False, 500, 10, 50))) == 1
+
+
+def test_fine_rate_control_end_to_end():
+    """fine_rate_control_flag changes the emitted bits (per-band slice
+    QPs) and the stream still decodes bit-exactly vs encoder recon."""
+    from h264lab_tpu.models.encoder import H264Encoder
+    from h264lab_tpu.decoder.decoder import H264Decoder
+
+    def encode(fine):
+        cfg = EncoderConfig(width=64, height=64, gop=8, qp=30,
+                            slice_bands=4, fine_rate_control_flag=fine)
+        enc = H264Encoder(cfg)
+        run = RunConfig(desired_frame_bytes=500, qp_min=20, qp_max=44)
+        stream = b""
+        recons = []
+        for (y, u, v) in chessboard_sequence(64, 64, 6):
+            r = enc.encode(y, u, v, run, return_recon=True)
+            stream += r.payload
+            recons.append(r.recon)
+        return stream, recons
+
+    s_fine, recons = encode(True)
+    s_flat, _ = encode(False)
+    assert s_fine != s_flat          # the flag is not dead
+    dec = H264Decoder()
+    frames = dec.decode(s_fine)
+    assert len(frames) == 6
+    for t, df in enumerate(frames):
+        got = df.cropped(dec.sps)
+        for pd, pe in zip(got, recons[t]):
+            assert np.array_equal(np.asarray(pd), np.asarray(pe)), t
