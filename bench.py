@@ -22,7 +22,7 @@ single thread, this host) measured 4.64 fps on the same 30-frame input
 at GOP 20 / QP 33 (all-intra gop=1: 16.2 fps). The reference publishes
 no numbers (BASELINE.md), so these locally measured figures define
 vs_baseline. RD fairness of the comparison (PSNR/bitrate at equal QP)
-is measured separately by tests/rd_compare.py and recorded in
+is measured separately by tests/test_rd_parity.py and recorded in
 RD_COMPARE.md.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
@@ -46,11 +46,18 @@ LANES = int(os.environ.get("BENCH_LANES", "8"))
 STEPS = int(os.environ.get("BENCH_STEPS", "12"))   # timed steps (x LANES frames)
 WARMUP = 3
 SPEED = int(os.environ.get("BENCH_SPEED", "2"))
+# Hard wall-clock budget (s, from process start): the timed loop stops
+# early and reports the steps it completed, so a number always prints
+# inside the driver's window even on a cold compile cache. (The package
+# enables a persistent compilation cache in .jax_cache, so warm runs
+# spend seconds, not minutes, before the first timed step.)
+DEADLINE = float(os.environ.get("BENCH_DEADLINE", "480"))
 
 REF_FPS_IPPP = 4.64        # C reference, gop=20, this host, 1 thread
 
 
 def main():
+    start = time.time()
     n_src = WARMUP + STEPS
     frames = list(chessboard_sequence(WIDTH, HEIGHT, n_src))
     # lane g encodes GOP g of the source stream: its step-t input is
@@ -67,6 +74,7 @@ def main():
         enc.encode_step(lane_inputs(t), run)
 
     total_bytes = 0
+    done = 0
     t0 = time.time()
     pending = None
     for t in range(WARMUP, WARMUP + STEPS):
@@ -74,11 +82,15 @@ def main():
         if pending is not None:
             total_bytes += sum(len(r.payload)
                                for r in enc.finish_step(pending))
+            done += 1
         pending = nxt
+        if time.time() - start > DEADLINE and done >= 2:
+            break
     if pending is not None:
         total_bytes += sum(len(r.payload) for r in enc.finish_step(pending))
+        done += 1
     dt = time.time() - t0
-    fps = LANES * STEPS / dt
+    fps = LANES * done / dt
 
     print(json.dumps({
         "metric": "ippp_1080p_fps_per_chip",

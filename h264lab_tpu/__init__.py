@@ -27,6 +27,23 @@ Architecture (TPU-first, not a port):
   threading mode at `src/h264-lab.h:6511-6574`).
 """
 
+import os as _os
+
+import jax as _jax
+
+# Persistent XLA compilation cache, shared by every entry point (CLI,
+# bench, tests): wavefront-scan programs at 1080p compile in minutes, so
+# a warm on-disk cache is the difference between a ~7-minute and a
+# ~10-second cold start. Opt out with H264LAB_NO_COMPILE_CACHE=1.
+if not _os.environ.get("H264LAB_NO_COMPILE_CACHE"):
+    _cache_dir = _os.environ.get(
+        "H264LAB_COMPILE_CACHE_DIR",
+        _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                      _os.pardir, ".jax_cache"))
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 from h264lab_tpu.config import (
     EncoderConfig,
     RunConfig,

@@ -177,6 +177,11 @@ class SliceHeaderParams:
     short_term_used: bool = False
     lt_slot_in_use: bool = False     # target LTR slot currently marked used
     max_long_term_frames: int = 0
+    # slice_header_in_scalable_extension tail for an enhancement slice
+    # with inter-layer prediction (G.7.3.3.4; reference
+    # `src/h264-lab.h:4335-4370`): announces adaptive per-MB
+    # base_mode_flag signalling in the slice data
+    svc_ilp: bool = False
 
 
 def write_slice_header_rbsp(bw: BitWriter, p: SliceHeaderParams):
@@ -219,6 +224,21 @@ def write_slice_header_rbsp(bw: BitWriter, p: SliceHeaderParams):
     if p.disable_deblocking_filter_idc != 1:
         bw.se(0)  # slice_alpha_c0_offset_div2
         bw.se(0)  # slice_beta_offset_div2
+    if p.svc_ilp:
+        # inter-layer prediction fields of
+        # slice_header_in_scalable_extension (bit-compatible with the
+        # reference's NAL-20 headers, `src/h264-lab.h:4335-4370`)
+        bw.ue(0)   # ref_layer_dq_id (base dependency 0, quality 0)
+        bw.ue(0)   # disable_inter_layer_deblocking_filter_idc
+        bw.ue(0)   # inter-layer filter offset fields (reference emits
+        bw.ue(0)   #   two further ue(0) here)
+        bw.u1(0)   # constrained_intra_resampling_flag
+        bw.u1(0)   # slice_skip_flag
+        bw.u1(1)   # adaptive_base_mode_flag: per-MB base_mode_flag
+        bw.u1(0)   # adaptive_motion_prediction_flag
+        bw.u1(0)   # default_motion_prediction_flag
+        bw.u1(0)   # adaptive_residual_prediction_flag
+        bw.u1(0)   # default_residual_prediction_flag
 
 
 def slice_nal_header_byte(p: SliceHeaderParams) -> tuple[int, int]:

@@ -195,8 +195,15 @@ class H264Decoder:
         self._mb_avail = None       # (mbh, mbw) bool (decoded yet)
         self._mv = None             # (mbh, mbw, 2) int32 (y, x)
         self._ref_planes = None     # (luma planes tuple, u_pad, v_pad)
-        # DPB: "short" = most recent short-term ref; lt[k] = long-term k
-        self._dpb = {"short": None, "lt": {}}
+        # DPB per dependency layer (0 = base/AVC, 1 = SVC enhancement):
+        # "short" = most recent short-term ref; lt[k] = long-term k
+        self._dpbs = {0: {"short": None, "lt": {}},
+                      1: {"short": None, "lt": {}}}
+        # SVC enhancement-layer decode state
+        self.enh_frames: list[DecodedFrame] = []
+        self._layer = 0
+        self._adaptive_base_mode = False
+        self._base_up = None        # upsampled base planes (y, u, v)
         self._interp_cache = {}     # id(frame planes) -> interp planes
         self._i4_modes = None       # (4*mbh, 4*mbw) int32, -1 = not i4x4
         self._mb_qp = None          # (mbh, mbw) int32
@@ -223,16 +230,26 @@ class H264Decoder:
                     self.pps = pps
             elif nal_type in (1, 5):
                 self._decode_slice(rbsp, nal_type == 5, (header >> 5) & 3)
+            elif nal_type == 20:
+                # scalable-extension slice: 3-byte SVC ext header
+                # (G.7.3.1.1: idr_flag in byte 0, no_inter_layer_pred /
+                # dependency_id in byte 1), then a normal slice
+                # header/data with the scalable additions
+                idr_flag = bool((rbsp[0] >> 6) & 1)
+                no_ilp = bool((rbsp[1] >> 7) & 1)
+                self._decode_slice(rbsp[3:], idr_flag, (header >> 5) & 3,
+                                   layer=1, ilp=not no_ilp)
             elif nal_type in (6, 9, 12):
                 continue  # SEI / AUD / filler
-            elif nal_type in (14, 20):
-                continue  # SVC prefix / enhancement (base-layer extraction)
+            elif nal_type == 14:
+                continue  # SVC prefix (announces the base layer)
             else:
                 raise NotImplementedError(f"NAL type {nal_type}")
         return self.frames
 
     # ---------------- slice ----------------
-    def _decode_slice(self, rbsp: bytes, is_idr: bool, nal_ref_idc: int):
+    def _decode_slice(self, rbsp: bytes, is_idr: bool, nal_ref_idc: int,
+                      layer: int = 0, ilp: bool = False):
         br = BitReader(rbsp)
         first_mb = br.ue()
         slice_type = br.ue()
@@ -284,12 +301,36 @@ class H264Decoder:
             if disable_deblock != 1:
                 br.se()
                 br.se()
+        adaptive_base_mode = False
+        if layer == 1 and ilp:
+            # slice_header_in_scalable_extension tail (G.7.3.3.4, the
+            # subset the reference emits at `src/h264-lab.h:4335-4370`)
+            br.ue()            # ref_layer_dq_id
+            br.ue()            # disable_inter_layer_deblocking_filter_idc
+            br.ue()
+            br.ue()
+            br.u1()            # constrained_intra_resampling_flag
+            if br.u1():        # slice_skip_flag
+                raise NotImplementedError("slice_skip_flag")
+            adaptive_base_mode = bool(br.u1())
+            if not adaptive_base_mode:
+                if br.u1():    # default_base_mode_flag
+                    raise NotImplementedError("default_base_mode_flag")
+            br.u1()            # adaptive_motion_prediction_flag
+            br.u1()            # default_motion_prediction_flag
+            br.u1()            # adaptive_residual_prediction_flag
+            br.u1()            # default_residual_prediction_flag
 
         if first_mb == 0:
+            self._layer = layer
             self._start_picture(slice_type == 0)
             self._marking = marking
             self._nal_ref_idc = nal_ref_idc
             self._is_idr = is_idr
+            self._base_up = None
+            if layer == 1 and ilp and self.frames:
+                self._base_up = self._upsample_base(self.frames[-1])
+        self._adaptive_base_mode = adaptive_base_mode
         if slice_type == 0:
             self._select_reference(use_lt)
         self._deblock_idc = disable_deblock
@@ -310,11 +351,12 @@ class H264Decoder:
     def _select_reference(self, use_lt):
         """Build interpolation planes for the P reference (DPB front or a
         long-term picture selected by ref list modification)."""
+        dpb = self._dpbs[self._layer]
         if use_lt is not None:
-            frame = self._dpb["lt"].get(use_lt)
+            frame = dpb["lt"].get(use_lt)
         else:
-            frame = self._dpb["short"] or next(
-                iter(self._dpb["lt"].values()), None)
+            frame = dpb["short"] or next(
+                iter(dpb["lt"].values()), None)
         if frame is None:
             raise ValueError("P slice without a reference picture")
         key = id(frame)
@@ -334,27 +376,28 @@ class H264Decoder:
             return
         cur = self._cur
         if self._is_idr:
-            self._dpb = {"short": None, "lt": {}}
+            self._dpbs[self._layer] = {"short": None, "lt": {}}
             if self._marking["idr_lt"]:
-                self._dpb["lt"][0] = cur
+                self._dpbs[self._layer]["lt"][0] = cur
             else:
-                self._dpb["short"] = cur
+                self._dpbs[self._layer]["short"] = cur
             return
+        dpb = self._dpbs[self._layer]
         mmco = self._marking["mmco"]
         if not mmco:
-            self._dpb["short"] = cur
+            dpb["short"] = cur
             return
         for op in mmco:
             if op[0] == 1:
-                self._dpb["short"] = None
+                dpb["short"] = None
             elif op[0] == 2:
-                self._dpb["lt"].pop(op[1], None)
+                dpb["lt"].pop(op[1], None)
             elif op[0] == 4:
                 maxidx = op[1] - 1
-                self._dpb["lt"] = {k: v for k, v in self._dpb["lt"].items()
-                                   if k <= maxidx}
+                dpb["lt"] = {k: v for k, v in dpb["lt"].items()
+                             if k <= maxidx}
             elif op[0] == 6:
-                self._dpb["lt"][op[1]] = cur
+                dpb["lt"][op[1]] = cur
             else:
                 raise NotImplementedError(f"MMCO {op[0]}")
 
@@ -376,7 +419,56 @@ class H264Decoder:
         self._mb_slice = np.full((sps.mb_height, sps.mb_width), -1, np.int32)
         self._cur_slice_id = -1
         self._n_decoded = 0
-        self.frames.append(self._cur)
+        self._cur.sps = sps
+        (self.frames if self._layer == 0 else self.enh_frames) \
+            .append(self._cur)
+
+    def _upsample_base(self, base_frame):
+        """Upsampled base-layer planes for inter-layer intra prediction
+        (G.8.6.2 dyadic case: 4-tap luma phases 4/12, bilinear chroma —
+        the scalar twin of ops/resample.py), edge-padded to the current
+        (enhancement) padded frame size."""
+        sps = self.sps
+
+        def up_luma(p):
+            def axis(x):
+                x = x.astype(np.int64)
+                pad = np.pad(x, ((2, 2), (0, 0)), mode="edge")
+                n = x.shape[0]
+                even = (-3 * pad[1:1 + n] + 28 * pad[2:2 + n]
+                        + 8 * pad[3:3 + n] - 1 * pad[4:4 + n])
+                odd = (-1 * pad[1:1 + n] + 8 * pad[2:2 + n]
+                       + 28 * pad[3:3 + n] - 3 * pad[4:4 + n])
+                out = np.empty((2 * n,) + x.shape[1:], np.int64)
+                out[0::2] = even
+                out[1::2] = odd
+                return out
+            t = axis(axis(p).T).T
+            return np.clip((t + 512) >> 10, 0, 255).astype(np.uint8)
+
+        def up_chroma(p):
+            def axis(x):
+                x = x.astype(np.int64)
+                pad = np.pad(x, ((1, 1), (0, 0)), mode="edge")
+                n = x.shape[0]
+                even = 3 * pad[1:1 + n] + pad[0:n]
+                odd = 3 * pad[1:1 + n] + pad[2:2 + n]
+                out = np.empty((2 * n,) + x.shape[1:], np.int64)
+                out[0::2] = even
+                out[1::2] = odd
+                return out
+            t = axis(axis(p).T).T
+            return np.clip((t + 8) >> 4, 0, 255).astype(np.uint8)
+
+        by, bu, bv = base_frame.cropped(base_frame.sps)
+
+        def pad_to(p, h, w):
+            return np.pad(p, ((0, h - p.shape[0]), (0, w - p.shape[1])),
+                          mode="edge")
+
+        return (pad_to(up_luma(by), 16 * sps.mb_height, 16 * sps.mb_width),
+                pad_to(up_chroma(bu), 8 * sps.mb_height, 8 * sps.mb_width),
+                pad_to(up_chroma(bv), 8 * sps.mb_height, 8 * sps.mb_width))
 
     # ---------------- macroblocks ----------------
     def _parse_slice_data(self, br: BitReader, slice_type: int,
@@ -389,8 +481,12 @@ class H264Decoder:
         slice_start = first_mb
         while mb < nmb:
             if slice_type == 2:  # I slice
-                mb_type = br.ue()
-                qp = self._decode_intra_mb(br, mb, mb_type, qp, slice_start)
+                if self._adaptive_base_mode and br.u1():
+                    qp = self._decode_base_mode_mb(br, mb, qp)
+                else:
+                    mb_type = br.ue()
+                    qp = self._decode_intra_mb(br, mb, mb_type, qp,
+                                               slice_start)
                 mb += 1
             else:                # P slice
                 skip_run = br.ue()
@@ -401,6 +497,12 @@ class H264Decoder:
                     mb += 1
                 if mb >= nmb or not br.more_rbsp_data():
                     break
+                if self._adaptive_base_mode and br.u1():
+                    qp = self._decode_base_mode_mb(br, mb, qp)
+                    mb += 1
+                    if not br.more_rbsp_data():
+                        break
+                    continue
                 mb_type = br.ue()
                 if mb_type >= 5:
                     qp = self._decode_intra_mb(br, mb, mb_type - 5, qp,
@@ -824,6 +926,88 @@ class H264Decoder:
             ((2, 0), (2, 2), ((2, -1), (1, 0), (1, 2), (1, -1)), None),
             ((2, 2), (2, 2), ((2, 1), (1, 2), None, (1, 1)), None)],
     }
+
+    def _decode_base_mode_mb(self, br: BitReader, mb: int, qp: int) -> int:
+        """I_BL macroblock (base_mode_flag=1): prediction is the
+        co-located upsampled base-layer block (G.8.6.2); residual is
+        coded inter-style — CBP from the inter map, 16-coefficient luma
+        blocks, no prediction-mode syntax. Counts as intra for
+        deblocking."""
+        sps, pps = self.sps, self.pps
+        if self._base_up is None:
+            raise ValueError("base_mode_flag without a decoded base layer")
+        r, c = divmod(mb, sps.mb_width)
+        self._mb_slice[r, c] = self._cur_slice_id
+        self._mb_intra[r, c] = True
+        self._mb_avail[r, c] = True
+        self._mv[r, c] = 0
+        self._mv4[4 * r:4 * r + 4, 4 * c:4 * c + 4] = 0
+
+        cbp = int(CODENUM_TO_CBP_INTER[br.ue()])
+        cbp_luma = cbp & 15
+        cbp_chroma = cbp >> 4
+        if cbp:
+            qp = (qp + br.se()) % 52
+        qpc = int(QPC_FROM_QPY[np.clip(qp + pps.chroma_qp_index_offset,
+                                       0, 51)])
+
+        up_y, up_u, up_v = self._base_up
+        py = up_y[16 * r:16 * r + 16, 16 * c:16 * c + 16]
+        recon = py.astype(np.int64).copy()
+        for k in BLOCK_SCAN_4x4:
+            bb, bc = divmod(int(k), 4)
+            grp = (bb // 2) * 2 + (bc // 2)
+            if cbp_luma & (1 << grp):
+                nc = self._nc_luma(4 * r + bb, 4 * c + bc, 0)
+                lv_scan, total = cavlc_dec.decode_block(br, nc, 16)
+                self._nnz_luma[4 * r + bb, 4 * c + bc] = total
+                lv = np.array(cavlc_dec.scan_to_raster4x4(
+                    lv_scan, self.coeff_scan), np.int64).reshape(4, 4)
+                res = idct4x4_core(dequant4x4(lv, qp))
+                blk = recon[4 * bb:4 * bb + 4, 4 * bc:4 * bc + 4]
+                recon[4 * bb:4 * bb + 4, 4 * bc:4 * bc + 4] = \
+                    clip255(blk + res)
+            else:
+                self._nnz_luma[4 * r + bb, 4 * c + bc] = 0
+        self._cur.y[16 * r:16 * r + 16, 16 * c:16 * c + 16] = \
+            recon.astype(np.uint8)
+
+        cdc_deq = []
+        for plane_idx in range(2):
+            if cbp_chroma >= 1:
+                lv_scan, _ = cavlc_dec.decode_block(br, -1, 4)
+                lv = np.array(lv_scan, np.int64).reshape(2, 2)
+            else:
+                lv = np.zeros((2, 2), np.int64)
+            cdc_deq.append(dequant_chroma_dc(lv, qpc))
+        for plane_idx, (plane, up) in enumerate(
+                ((self._cur.u, up_u), (self._cur.v, up_v))):
+            cpred = up[8 * r:8 * r + 8, 8 * c:8 * c + 8]
+            crec = np.zeros((8, 8), np.int64)
+            for k in range(4):
+                bb, bc = divmod(k, 2)
+                if cbp_chroma == 2:
+                    nc = self._nc_chroma(plane_idx, 2 * r + bb, 2 * c + bc)
+                    lv_scan, total = cavlc_dec.decode_block(br, nc, 15)
+                    self._nnz_chroma[plane_idx, 2 * r + bb,
+                                     2 * c + bc] = total
+                    lv = np.array(cavlc_dec.scan_to_raster4x4(
+                        [0] + lv_scan, self.coeff_scan),
+                        np.int64).reshape(4, 4)
+                else:
+                    self._nnz_chroma[plane_idx, 2 * r + bb, 2 * c + bc] = 0
+                    lv = np.zeros((4, 4), np.int64)
+                deq = dequant4x4(lv, qpc)
+                deq[0, 0] = cdc_deq[plane_idx][bb, bc]
+                res = idct4x4_core(deq)
+                pc = cpred[4 * bb:4 * bb + 4,
+                           4 * bc:4 * bc + 4].astype(np.int64)
+                crec[4 * bb:4 * bb + 4, 4 * bc:4 * bc + 4] = \
+                    clip255(res + pc)
+            plane[8 * r:8 * r + 8, 8 * c:8 * c + 8] = crec.astype(np.uint8)
+        self._mb_qp[r, c] = qp
+        self._n_decoded += 1
+        return qp
 
     def _decode_p_mb(self, br: BitReader, mb: int, mb_type: int,
                      qp: int) -> int:

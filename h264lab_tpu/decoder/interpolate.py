@@ -9,7 +9,10 @@ from __future__ import annotations
 
 import numpy as np
 
-GUARD = 24
+# Must cover the encoder's maximum MV reach (ops/me.py MAX_CAND_FP +
+# sub-pel + 6-tap support); too small a guard would silently wrap
+# numpy's negative indices into garbage predictions.
+GUARD = 80
 
 
 def pad(plane: np.ndarray, g: int) -> np.ndarray:

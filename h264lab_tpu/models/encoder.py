@@ -37,6 +37,11 @@ class PendingFrame:
     is_intra: bool
     ft_name: str
     return_recon: bool
+    # NALU-size enforcement (desired_nalu_bytes): original inputs plus a
+    # pre-dispatch state snapshot so finish() can roll back and
+    # re-encode the frame with more slices when a NALU overflows
+    inputs: tuple = None
+    rollback: dict = None
 
 
 @dataclasses.dataclass
@@ -80,11 +85,19 @@ class H264Encoder:
         self._short_term_used = False
         self._lt_used = [False] * cfg.max_long_term_reference_frames
         self._last_tiles = None
+        # previous P frame's full-pel MV field — an ME candidate centre
+        # that extends reach beyond the coarse +-32 px (me.py); keyed by
+        # band count so adaptive re-banding resets it
+        self._prev_mv = None
         self._force_transparent = False
         self._last_frame_bytes = 0
         self._in_flight = 0          # dispatched-but-unfinished frames
         self._band_cache = {}
         self._denoise_prev = None   # previous denoised planes
+        # set by SvcEncoder on its enhancement-layer encoder when
+        # inter_layer_pred_flag is on: slices carry the scalable-ext
+        # header tail and per-MB base_mode_flag bits (NAL 20 syntax)
+        self._svc_ext = False
         self.rc = RateControl(cfg.n_mb, cfg.gop, cfg.vbv_size_bytes, cfg.qp)
 
         self._sps = headers.SpsParams(
@@ -106,23 +119,33 @@ class H264Encoder:
             return FrameType.KEY
         return FrameType.P
 
-    def _bands(self, run: RunConfig):
+    def _bands(self, run: RunConfig, force: int | None = None):
         """Slice bands as (first_mb_row, n_rows). Multi-slice comes from
         cfg.slice_bands, or adaptively from desired_nalu_bytes (reference
-        `src/h264-lab.h:6418-6424` splits by NALU size; we re-band using
-        the previous frame's size estimate). The count is snapped to a
+        `src/h264-lab.h:6418-6424` splits by NALU size): the initial
+        count comes from the previous frame's size estimate, and
+        `finish()` *enforces* the bound — an oversized slice NALU rolls
+        the frame back and re-encodes it with more slices (`force`), so
+        no emitted NALU exceeds the target even on a scene cut (unless
+        a single MB row already exceeds it). The count is snapped to a
         divisor of mb_height so all bands are equal-height: equal bands
         dispatch as ONE vmapped computation (mbscan.encode_frame_banded)
-        instead of a per-band loop."""
+        instead of a per-band loop; `force` snaps up so the slice count
+        never decreases across re-encodes."""
         cfg = self.config
-        n = cfg.slice_bands
-        nalu = run.desired_nalu_bytes or cfg.desired_nalu_bytes
-        if nalu > 0 and self._last_frame_bytes:
-            est = max(1, round(self._last_frame_bytes / nalu))
-            n = max(n, min(est, cfg.mb_height))
-        n = max(1, min(n, cfg.mb_height))
-        while cfg.mb_height % n:      # largest divisor <= requested count
-            n -= 1
+        if force is not None:
+            n = max(1, min(force, cfg.mb_height))
+            while cfg.mb_height % n:   # smallest divisor >= requested
+                n += 1
+        else:
+            n = cfg.slice_bands
+            nalu = run.desired_nalu_bytes or cfg.desired_nalu_bytes
+            if nalu > 0 and self._last_frame_bytes:
+                est = max(1, round(self._last_frame_bytes / nalu))
+                n = max(n, min(est, cfg.mb_height))
+            n = max(1, min(n, cfg.mb_height))
+            while cfg.mb_height % n:   # largest divisor <= requested
+                n -= 1
         rows = cfg.mb_height // n
         return [(i * rows, rows) for i in range(n)]
 
@@ -155,14 +178,35 @@ class H264Encoder:
         return self.finish(self.encode_async(y, u, v, run, return_recon))
 
     def encode_async(self, y, u, v, run: RunConfig | None = None,
-                     return_recon: bool = False) -> "PendingFrame":
+                     return_recon: bool = False,
+                     _force_bands: int | None = None) -> "PendingFrame":
         """Dispatch the device computation for one frame and return
         immediately (JAX dispatch is asynchronous). Call `finish()` to
         pack the bitstream — overlapping the host-side packing of frame N
         with the device compute of frame N+1 (see bench.py). Note: in
-        bitrate mode the RC feedback then lags by one frame."""
+        bitrate mode the RC feedback then lags by one frame, and with
+        `desired_nalu_bytes` set an oversized NALU triggers a
+        synchronous rollback + re-encode inside finish() — don't overlap
+        dispatches in that mode."""
         cfg = self.config
         run = run or RunConfig(qp_min=cfg.qp, qp_max=cfg.qp)
+
+        nalu_target = run.desired_nalu_bytes or cfg.desired_nalu_bytes
+        rollback = None
+        inputs = None
+        if nalu_target > 0:
+            inputs = (y, u, v)
+            rollback = dict(
+                frame_num=self.frame_num, idr_pic_id=self.idr_pic_id,
+                frames_encoded=self.frames_encoded, gop_pos=self._gop_pos,
+                refs=dict(self._refs), ref=self._ref,
+                most_recent=self._most_recent_idx,
+                short_term=self._short_term_used,
+                lt_used=list(self._lt_used),
+                last_tiles=self._last_tiles, prev_mv=self._prev_mv,
+                denoise_prev=self._denoise_prev,
+                force_transparent=self._force_transparent,
+                last_frame_bytes=self._last_frame_bytes)
 
         ftype = self._frame_type(run)
         # long-term reference policy (reference `src/h264-lab.h:6734-6754`)
@@ -203,7 +247,7 @@ class H264Encoder:
             is_intra_frame, run.desired_frame_bytes,
             int(np.clip(run.qp_min, 10, 51)), int(np.clip(run.qp_max, 10, 51)))
         qpc = int(tables.QPC_FROM_QPY[qp])
-        bands = self._bands(run)
+        bands = self._bands(run, force=_force_bands)
         # fine (sub-frame) rate control: per-band QP offsets — the
         # parallel analog of the reference's `rc_mb_end` along-the-scan
         # correction (`src/h264-lab.h:6146-6179`); see rc.band_qp_offsets
@@ -214,6 +258,20 @@ class H264Encoder:
                 int(np.clip(run.qp_max, 10, 51)))
         else:
             band_qps = [qp] * len(bands)
+        # MB-row-granular fine RC via mb_qp_delta (single slice, parallel
+        # P path; reference `rc_mb_end` `src/h264-lab.h:6146-6179`)
+        row_plan = None
+        if (cfg.fine_rate_control_flag and len(bands) == 1
+                and not is_intra_frame and run.encode_speed >= 2
+                and run.desired_frame_bytes > 0):
+            row_plan = self.rc.row_qp_offsets(
+                cfg.mb_height, False, run.desired_frame_bytes,
+                int(np.clip(run.qp_min, 10, 51)),
+                int(np.clip(run.qp_max, 10, 51)))
+            if all(q == row_plan[0] for q in row_plan):
+                row_plan = None      # uniform plan: scalar-QP program
+            else:
+                band_qps = [row_plan[0]]     # slice_qp = first row's QP
 
         # temporal denoise pre-filter (reference gating: flag set and
         # speed < 2, `src/h264-lab.h:6684-6697`)
@@ -266,17 +324,34 @@ class H264Encoder:
                     enable_deblock=enable_deblock)
             else:
                 ref = self._refs[max(lt_use, 0)]
+                # previous-frame MV candidate centre; zeros at GOP start
+                # or on reference switches (keeps ONE compiled P program)
+                if (lt_use == 0 and self._prev_mv is not None
+                        and self._prev_mv[0] == 1):
+                    prev = self._prev_mv[1:]
+                else:
+                    z = jnp.zeros((rows * mbw,), jnp.int32)
+                    prev = (z, z)
+                if row_plan is not None:
+                    qp_arg = jnp.asarray(np.asarray(row_plan, np.int32))
+                    qpc_arg = jnp.asarray(np.asarray(
+                        [int(tables.QPC_FROM_QPY[q]) for q in row_plan],
+                        np.int32))
+                else:
+                    qp_arg, qpc_arg = jnp.int32(qp), jnp.int32(qpc)
                 out = mbscan.encode_frame(
                     jnp.asarray(ty), jnp.asarray(tu), jnp.asarray(tv),
                     ref["y_pad"], ref["u_pad"], ref["v_pad"],
                     ref["y4_pad"],
-                    jnp.int32(qp), jnp.int32(qpc),
+                    qp_arg, qpc_arg,
                     steps, a_top, a_left,
                     mbw, rows, has_inter=True,
                     enable_i4x4=enable_i4x4, enable_deblock=enable_deblock,
                     enable_partitions=enable_partitions,
                     enable_qpel=enable_qpel,
-                    mb_row_offset=jnp.int32(0))
+                    svc_base_mode_bit=self._svc_ext,
+                    mb_row_offset=jnp.int32(0),
+                    prev_my=prev[0], prev_mx=prev[1])
             band_outs.append(out)
         else:
             # all bands in ONE vmapped dispatch (equal heights by _bands)
@@ -299,6 +374,12 @@ class H264Encoder:
                     enable_deblock=enable_deblock)
             else:
                 ref = self._refs[max(lt_use, 0)]
+                if (lt_use == 0 and self._prev_mv is not None
+                        and self._prev_mv[0] == n_bands):
+                    prev = self._prev_mv[1:]
+                else:
+                    z = jnp.zeros((n_bands, nmb_b), jnp.int32)
+                    prev = (z, z)
                 bout = mbscan.encode_frame_banded(
                     by, bu, bv,
                     ref["y_pad"], ref["u_pad"], ref["v_pad"],
@@ -308,9 +389,21 @@ class H264Encoder:
                     mbw, rows, has_inter=True,
                     enable_i4x4=enable_i4x4, enable_deblock=enable_deblock,
                     enable_partitions=enable_partitions,
-                    enable_qpel=enable_qpel)
+                    enable_qpel=enable_qpel,
+                    svc_base_mode_bit=self._svc_ext,
+                    prev_my=prev[0], prev_mx=prev[1])
             band_outs = [{k: v[b] for k, v in bout.items()}
                          for b in range(n_bands)]
+
+        # carry this frame's full-pel MV field as the next P frame's ME
+        # candidate centre (device arrays; no sync)
+        if is_intra_frame or lt_use != 0:
+            self._prev_mv = None
+        elif n_bands == 1:
+            self._prev_mv = (1, band_outs[0]["mv_y"] >> 2,
+                             band_outs[0]["mv_x"] >> 2)
+        else:
+            self._prev_mv = (n_bands, bout["mv_y"] >> 2, bout["mv_x"] >> 2)
 
         for bi, (row0, rows_b) in enumerate(bands):
             bw = BitWriter(capacity=1 << 16)
@@ -330,7 +423,8 @@ class H264Encoder:
                 short_term_used=self._short_term_used,
                 lt_slot_in_use=(self._lt_used[lt_update - 1]
                                 if lt_update > 0 else False),
-                max_long_term_frames=n_lt)
+                max_long_term_frames=n_lt,
+                svc_ilp=self._svc_ext)
             headers.write_slice_header_rbsp(bw, shp)
             band_hdrs.append((bw, shp))
 
@@ -375,7 +469,7 @@ class H264Encoder:
             encoder=self, run=run, out=out, band_outs=band_outs,
             band_hdrs=band_hdrs, sps_pps=payload, qp=qp,
             is_intra=is_intra_frame, ft_name=ft_name,
-            return_recon=return_recon)
+            return_recon=return_recon, inputs=inputs, rollback=rollback)
 
     def finish(self, pending: "PendingFrame") -> FrameResult:
         """Pack the dispatched frame into Annex-B bytes (host side)."""
@@ -384,8 +478,7 @@ class H264Encoder:
         self._in_flight -= 1
         cfg = self.config
         run = pending.run
-        payload = pending.sps_pps
-        band_bytes = []
+        nals = []
         for out_b, (bw, shp) in zip(pending.band_outs, pending.band_hdrs):
             tail_len = int(out_b["tail_len"])
             mb_bits = int(out_b["total_bits"]) - tail_len
@@ -398,14 +491,51 @@ class H264Encoder:
                 bw.u(tail_len, int(out_b["tail_val"]))
             bw.rbsp_trailing_bits()
             ref_idc, nal_type = headers.slice_nal_header_byte(shp)
-            nal = annexb_nal(ref_idc, nal_type, bw.to_bytes())
+            nals.append(annexb_nal(ref_idc, nal_type, bw.to_bytes()))
+        band_bytes = [len(n) for n in nals]
+
+        # NALU-size enforcement (reference on-the-fly split,
+        # `src/h264-lab.h:6418-6424`): if any slice NALU overflows the
+        # target, roll the stream state back and re-encode this frame
+        # with more slices. Terminates: the slice count strictly grows
+        # until one MB row per slice.
+        nalu_target = run.desired_nalu_bytes or cfg.desired_nalu_bytes
+        if (nalu_target > 0 and pending.rollback is not None
+                and len(nals) < cfg.mb_height
+                and max(band_bytes) > nalu_target):
+            rb = pending.rollback
+            self.frame_num = rb["frame_num"]
+            self.idr_pic_id = rb["idr_pic_id"]
+            self.frames_encoded = rb["frames_encoded"]
+            self._gop_pos = rb["gop_pos"]
+            self._refs = rb["refs"]
+            self._ref = rb["ref"]
+            self._most_recent_idx = rb["most_recent"]
+            self._short_term_used = rb["short_term"]
+            self._lt_used = rb["lt_used"]
+            self._last_tiles = rb["last_tiles"]
+            self._prev_mv = rb["prev_mv"]
+            self._denoise_prev = rb["denoise_prev"]
+            self._force_transparent = rb["force_transparent"]
+            self._last_frame_bytes = rb["last_frame_bytes"]
+            need = max(len(nals) + 1,
+                       -(-sum(band_bytes) // max(nalu_target, 1)))
+            y0, u0, v0 = pending.inputs
+            return self.finish(self.encode_async(
+                y0, u0, v0, run, pending.return_recon,
+                _force_bands=need))
+
+        payload = pending.sps_pps
+        for nal in nals:
             payload += nal
-            band_bytes.append(len(nal))
             if run.nalu_callback:
                 run.nalu_callback(nal, self.frames_encoded - 1)
         self._last_frame_bytes = len(payload)
 
-        # rate control accounting + VBV actions
+        # rate control accounting + VBV actions (incl. the per-MB-row
+        # bits that drive next frame's mb_qp_delta plan)
+        self.rc.note_row_bits(np.concatenate(
+            [np.asarray(b["row_bits"]) for b in pending.band_outs]))
         actions = self.rc.frame_end(pending.is_intra, len(payload),
                                     run.desired_frame_bytes,
                                     band_bytes=band_bytes)
@@ -464,6 +594,9 @@ class H264Encoder:
             "refs": refs,
             "last_tiles": (None if self._last_tiles is None else
                            tuple(np.asarray(t) for t in self._last_tiles)),
+            "prev_mv": (None if self._prev_mv is None else
+                        (self._prev_mv[0], np.asarray(self._prev_mv[1]),
+                         np.asarray(self._prev_mv[2]))),
             "denoise_prev": (None if self._denoise_prev is None else
                              tuple(np.asarray(p) for p in self._denoise_prev)),
             "rc": self.rc.get_state(),
@@ -488,6 +621,9 @@ class H264Encoder:
         lt = st.get("last_tiles")
         self._last_tiles = (None if lt is None
                             else tuple(jnp.asarray(t) for t in lt))
+        pm = st.get("prev_mv")
+        self._prev_mv = (None if pm is None else
+                         (pm[0], jnp.asarray(pm[1]), jnp.asarray(pm[2])))
         self._denoise_prev = st["denoise_prev"]
         self.rc.set_state(st["rc"])
 

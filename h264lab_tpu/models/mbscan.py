@@ -83,6 +83,21 @@ def _se_codes(v):
     return _ue_codes(jnp.where(v > 0, 2 * v - 1, -2 * v))
 
 
+def _quant_blocks(coef, qp, deadzone):
+    """quant+dequant of (k, n, n, 4, 4) block grids where `qp` is a
+    scalar or a per-MB (k,) array (mb_qp_delta support: QP only enters
+    here, so per-MB QP costs one reshape, not a recompile of anything
+    else)."""
+    if jnp.ndim(qp) == 0:
+        lev = transform.quant4x4(coef, qp, deadzone)
+        return lev, transform.dequant4x4(lev, qp)
+    k = coef.shape[0]
+    c = coef.reshape(k, -1, 4, 4)
+    lev = transform.quant4x4(c, qp[:, None], deadzone)
+    deq = transform.dequant4x4(lev, qp[:, None])
+    return lev.reshape(coef.shape), deq.reshape(coef.shape)
+
+
 def _encode_luma_i16(src, pred, qp):
     sb = mb_to_blocks(src.astype(jnp.int32), 4)
     pb = mb_to_blocks(pred.astype(jnp.int32), 4)
@@ -90,9 +105,8 @@ def _encode_luma_i16(src, pred, qp):
     dc = coef[..., 0, 0]
     dc_lev = transform.quant_luma_dc(dc, qp)
     dc_deq = transform.dequant_luma_dc(dc_lev, qp)
-    ac_lev = transform.quant4x4(coef, qp, INTRA_DEADZONE_Q8)
+    ac_lev, deq = _quant_blocks(coef, qp, INTRA_DEADZONE_Q8)
     ac_lev = ac_lev.at[..., 0, 0].set(0)
-    deq = transform.dequant4x4(ac_lev, qp)
     deq = deq.at[..., 0, 0].set(dc_deq)
     res = transform.idct4x4(deq)
     recon = jnp.clip(res + pb, 0, 255).astype(jnp.uint8)
@@ -101,16 +115,16 @@ def _encode_luma_i16(src, pred, qp):
 
 def _encode_chroma(src, pred, qpc, deadzone):
     """Chroma TQ for one plane batch (k, 8, 8); u and v are usually
-    stacked along the batch axis for one fused call."""
+    stacked along the batch axis for one fused call. `qpc` scalar or
+    per-MB (k,)."""
     sb = mb_to_blocks(src.astype(jnp.int32), 2)
     pb = mb_to_blocks(pred.astype(jnp.int32), 2)
     coef = transform.fdct4x4(sb - pb)
     dc = coef[..., 0, 0]
     dc_lev = transform.quant_chroma_dc(dc, qpc)
     dc_deq = transform.dequant_chroma_dc(dc_lev, qpc)
-    ac_lev = transform.quant4x4(coef, qpc, deadzone)
+    ac_lev, deq = _quant_blocks(coef, qpc, deadzone)
     ac_lev = ac_lev.at[..., 0, 0].set(0)
-    deq = transform.dequant4x4(ac_lev, qpc)
     deq = deq.at[..., 0, 0].set(dc_deq)
     res = transform.idct4x4(deq)
     recon = jnp.clip(res + pb, 0, 255).astype(jnp.uint8)
@@ -121,8 +135,7 @@ def _encode_inter_luma(src, pred, qp):
     sb = mb_to_blocks(src.astype(jnp.int32), 4)
     pb = mb_to_blocks(pred.astype(jnp.int32), 4)
     coef = transform.fdct4x4(sb - pb)
-    lev = transform.quant4x4(coef, qp, INTER_DEADZONE_Q8)
-    deq = transform.dequant4x4(lev, qp)
+    lev, deq = _quant_blocks(coef, qp, INTER_DEADZONE_Q8)
     res = transform.idct4x4(deq)
     recon = jnp.clip(res + pb, 0, 255).astype(jnp.uint8)
     return lev, blocks_to_mb(recon)
@@ -140,16 +153,41 @@ def encode_frame_core(src_y_mb, src_u_mb, src_v_mb,
                       enable_deblock: bool = False,
                       enable_partitions: bool = False,
                       enable_qpel: bool = True,
-                      mb_row_offset=0):
+                      svc_base_mode_bit: bool = False,
+                      mb_row_offset=0,
+                      prev_my=None, prev_mx=None):
     """Encode one frame or slice band. For I frames pass dummy ref planes
     and has_inter=False (they are ignored). `mb_row_offset` places a band
     within the full-frame reference planes (multi-slice encoding): all
     entropy/prediction contexts stay band-local (slices are independent),
-    but motion compensation reads the full reference picture."""
+    but motion compensation reads the full reference picture.
+
+    `qp`/`qpc` may be scalars (uniform slice QP) or per-MB-row
+    (mb_height,) arrays — MB-granular fine rate control via
+    `mb_qp_delta` (reference `rc_mb_end`, `src/h264-lab.h:6146-6179`).
+    Per-row QP is supported on the fully-parallel P path (has_inter and
+    not enable_i4x4): QP only enters quantization, the dQP syntax and
+    the deblocking thresholds, so the row plan adds no wavefront
+    dependency."""
     nmb = mb_width * mb_height
     rr = jnp.arange(nmb, dtype=jnp.int32) // mb_width
     cc = jnp.arange(nmb, dtype=jnp.int32) % mb_width
-    lam = me.lambda_me(qp)
+    per_row_qp = jnp.ndim(qp) == 1
+    if per_row_qp:
+        if not (has_inter and not enable_i4x4):
+            raise NotImplementedError(
+                "per-row QP requires the fully-parallel P path "
+                "(encode_speed >= 2)")
+        qp_mb = jnp.repeat(qp, mb_width)           # (nmb,)
+        qpc_mb = jnp.repeat(qpc, mb_width)
+        qp0 = qp[0]                                # slice_qp / ME lambda
+        tq_qp, tq_qpc = qp_mb, qpc_mb
+        tq_qpc2 = jnp.concatenate([qpc_mb, qpc_mb])
+    else:
+        qp0 = qp
+        tq_qp, tq_qpc = qp, qpc
+        tq_qpc2 = qpc
+    lam = me.lambda_me(qp0)
 
     # ---------------- stage 1 (P): ME + MC + inter TQ --------------------
     if has_inter:
@@ -160,8 +198,9 @@ def encode_frame_core(src_y_mb, src_u_mb, src_v_mb,
                      .transpose(0, 2, 1, 3)
                      .reshape(mb_height * 16, mb_width * 16))
         mv_y, mv_x, cost16, pred16, aux = me.motion_search_dense(
-            cur_plane, src_y_mb, ref_y_pad, ref4_pad, base_y, base_x, qp,
-            mb_height, mb_width, mb_row_offset, enable_subpel=enable_qpel)
+            cur_plane, src_y_mb, ref_y_pad, ref4_pad, base_y, base_x, qp0,
+            mb_height, mb_width, mb_row_offset, enable_subpel=enable_qpel,
+            prev_my=prev_my, prev_mx=prev_mx)
 
         # partition shapes: per-4x4-block MV grid; shape 0=16x16,
         # 1=16x8, 2=8x16, 3=8x8 (reference partition proposal+search,
@@ -172,7 +211,7 @@ def encode_frame_core(src_y_mb, src_u_mb, src_v_mb,
         inter_cost = cost16
         pred_y_inter = pred16
         if enable_partitions and enable_qpel:
-            ps = me.partition_search(src_y_mb, aux, qp)
+            ps = me.partition_search(src_y_mb, aux, qp0)
             c168 = ps["cost16x8"] + lam * PART_16X8_PENALTY_BITS
             c816 = ps["cost8x16"] + lam * PART_16X8_PENALTY_BITS
             c88 = ps["cost8x8"] + lam * PART_8X8_PENALTY_BITS
@@ -218,14 +257,14 @@ def encode_frame_core(src_y_mb, src_u_mb, src_v_mb,
             # uniform per-MB MV: windowed gather-free chroma MC
             pred_u_inter, pred_v_inter = qpel.mc_chroma_uniform(
                 ref_u_pad, ref_v_pad, cb_y, cb_x,
-                aux["cy4"], aux["cx4"], mv_y, mv_x)
+                aux["full_my"], aux["full_mx"], mv_y, mv_x)
         lev_inter, recon_y_inter = _encode_inter_luma(
-            src_y_mb, pred_y_inter, qp)
+            src_y_mb, pred_y_inter, tq_qp)
         # u and v batched through one chroma TQ
         cdc_uv, cac_uv, recon_uv = _encode_chroma(
             jnp.concatenate([src_u_mb, src_v_mb]),
             jnp.concatenate([pred_u_inter, pred_v_inter]),
-            qpc, INTER_DEADZONE_Q8)
+            tq_qpc2, INTER_DEADZONE_Q8)
         cdc_inter = jnp.stack([cdc_uv[:nmb], cdc_uv[nmb:]], axis=1)
         cac_inter = jnp.stack([cac_uv[:nmb], cac_uv[nmb:]], axis=1)
         recon_u_inter = recon_uv[:nmb]
@@ -277,7 +316,8 @@ def encode_frame_core(src_y_mb, src_u_mb, src_v_mb,
                         SEL_I16, SEL_INTER).astype(jnp.int32)
         is_i16_mb = sel == SEL_I16
 
-        dc_lev, ac_lev, rec_y16 = _encode_luma_i16(src_y_mb, pred_y16, qp)
+        dc_lev, ac_lev, rec_y16 = _encode_luma_i16(src_y_mb, pred_y16,
+                                                   tq_qp)
 
         # chroma intra (u and v batched), edges from inter recon
         zc_row = jnp.zeros((mb_width, 8), jnp.uint8)
@@ -300,7 +340,7 @@ def encode_frame_core(src_y_mb, src_u_mb, src_v_mb,
         cm2 = jnp.concatenate([cmode, cmode])
         pred_c = jnp.take_along_axis(preds_c, cm2[:, None, None, None],
                                      axis=1)[:, 0]
-        cdc_c, cac_c, rec_c = _encode_chroma(src_c, pred_c, qpc,
+        cdc_c, cac_c, rec_c = _encode_chroma(src_c, pred_c, tq_qpc2,
                                              INTRA_DEADZONE_Q8)
         cdc_intra = jnp.stack([cdc_c[:nmb], cdc_c[nmb:]], axis=1)
         cac_intra = jnp.stack([cac_c[:nmb], cac_c[nmb:]], axis=1)
@@ -332,19 +372,39 @@ def encode_frame_core(src_y_mb, src_u_mb, src_v_mb,
     mv4_x = jnp.where(is_intra_mb[:, None, None], 0, mv4_x)
     shape = jnp.where(is_intra_mb, 0, shape)
 
-    # ---------------- stage 3: deblocking --------------------------------
+    # materialize the mode-decision outputs before they fan out into
+    # symbolization AND deblocking: both consume the same select chains,
+    # and XLA would otherwise clone the whole upstream pipeline into
+    # each consumer fusion (see the barrier note in ops/me.py)
+    (sel, recon_y, recon_u, recon_v, cdc_lev, cac_lev, lev_inter,
+     dc_lev, ac_lev, mv_y, mv_x, mv4_y, mv4_x, shape) = \
+        jax.lax.optimization_barrier(
+            (sel, recon_y, recon_u, recon_v, cdc_lev, cac_lev, lev_inter,
+             dc_lev, ac_lev, mv_y, mv_x, mv4_y, mv4_x, shape))
+
+    # ---------------- stage 3: symbolization -----------------------------
+    # (before deblocking: with per-row QP the filter must use the
+    # *decoded* running QP that symbolization derives from the dQP chain)
+    out = symbolize(sel, mode16, cmode, i4modes, i4sym_v, i4sym_l,
+                    mv4_y, mv4_x, shape, dc_lev, ac_lev, lev_inter,
+                    cdc_lev, cac_lev, mb_width, mb_height, has_inter,
+                    svc_base_mode_bit=svc_base_mode_bit,
+                    qp_rows=qp if per_row_qp else None)
+
+    # ---------------- stage 4: deblocking --------------------------------
     if enable_deblock:
         nnz_inter_blk = jnp.sum(lev_inter != 0, axis=(-2, -1)) \
             .astype(jnp.int32)
+        if per_row_qp:
+            qp_db = out["qp_dec"]
+            qpc_db = jnp.asarray(tables.QPC_FROM_QPY)[qp_db]
+        else:
+            qp_db, qpc_db = qp, qpc
         df_y, df_u, df_v = deblock_frame(
             recon_y, recon_u, recon_v, sel, nnz_inter_blk, mv4_y, mv4_x,
-            qp, qpc, avail_top, avail_left, mb_width, mb_height)
+            qp_db, qpc_db, avail_top, avail_left, mb_width, mb_height)
     else:
         df_y, df_u, df_v = recon_y, recon_u, recon_v
-
-    out = symbolize(sel, mode16, cmode, i4modes, i4sym_v, i4sym_l,
-                    mv4_y, mv4_x, shape, dc_lev, ac_lev, lev_inter,
-                    cdc_lev, cac_lev, mb_width, mb_height, has_inter)
     out.update(dict(recon_y=recon_y, recon_u=recon_u, recon_v=recon_v,
                     df_y=df_y, df_u=df_u, df_v=df_v,
                     mv_y=mv_y, mv_x=mv_x, mv4_y=mv4_y, mv4_x=mv4_x,
@@ -640,6 +700,30 @@ def deblock_frame(recon_y, recon_u, recon_v, sel, nnz_blk, mv4_y, mv4_x,
               cur_c=diag_order(cur_c_all).astype(jnp.int32),
               bs_v=diag_order(bs_v), bs_h=diag_order(bs_h))
 
+    per_mb_qp = jnp.ndim(qp) == 1
+    if per_mb_qp:
+        # per-edge QP (spec 8.7.2.1: MB edges use the two MBs' average,
+        # internal edges the MB's own decoded QP), in diagonal order
+        def edge_qps(q):
+            q2 = q.reshape(mb_height, mb_width)
+            left = jnp.concatenate([q2[:, :1], q2[:, :-1]], axis=1)
+            top = jnp.concatenate([q2[:1, :], q2[:-1, :]], axis=0)
+            va = ((q2 + left + 1) >> 1).reshape(-1)
+            ha = ((q2 + top + 1) >> 1).reshape(-1)
+            return (jnp.stack([va, q, q, q], axis=1),
+                    jnp.stack([ha, q, q, q], axis=1))
+        qv_l, qh_l = edge_qps(qp)
+        qv_c, qh_c = edge_qps(qpc)
+        xs.update(qv_l=diag_order(qv_l), qh_l=diag_order(qh_l),
+                  qv_c=diag_order(qv_c[:, :2]),
+                  qh_c=diag_order(qh_c[:, :2]))
+
+    # materialize the scan inputs: without this barrier XLA fuses the
+    # upstream producers (ME/TQ/selection) into the scan body and
+    # recomputes them EVERY iteration — measured 115 s vs 0.2 s for a
+    # 12-MB frame on CPU
+    xs = jax.lax.optimization_barrier(xs)
+
     def step(carry, xt):
         P_y, P_c = carry                 # previous diagonal, by MB row
         valid = xt["valid"][:, None, None]
@@ -647,17 +731,23 @@ def deblock_frame(recon_y, recon_u, recon_v, sel, nnz_blk, mv4_y, mv4_x,
         cur_c = xt["cur_c"]
         bs_v = xt["bs_v"]
         bs_h = xt["bs_h"]
+        if per_mb_qp:
+            qp_v, qp_h = xt["qv_l"], xt["qh_l"]
+            qpc_v, qpc_h = xt["qv_c"], xt["qh_c"]
+        else:
+            qp_v = qp_h = qp
+            qpc_v = qpc_h = qpc
 
         # ---- luma V: 4 left cols from the left neighbour (lane r) ----
         strip = jnp.concatenate([P_y[:, :, 12:16], cur_y], axis=2)
-        strip = deblock.filter_luma_v(strip, bs_v, qp, edge_x0=4)
+        strip = deblock.filter_luma_v(strip, bs_v, qp_v, edge_x0=4)
         P_y = jnp.where(valid, P_y.at[:, :, 13:16].set(strip[:, :, 1:4]),
                         P_y)
         cur_y = strip[:, :, 4:20]
         # ---- luma H: 4 top rows from the top neighbour (lane r-1) ----
         P_y_up = jnp.concatenate([jnp.zeros_like(P_y[:1]), P_y[:-1]])
         strip = jnp.concatenate([P_y_up[:, 12:16, :], cur_y], axis=1)
-        strip = deblock.filter_luma_h(strip, bs_h, qp, edge_y0=4)
+        strip = deblock.filter_luma_h(strip, bs_h, qp_h, edge_y0=4)
         upd = jnp.concatenate([strip[1:, 1:4, :],
                                jnp.zeros_like(strip[:1, 1:4, :])])
         vshift = jnp.concatenate([xt["valid"][1:], jnp.zeros((1,), bool)])
@@ -667,13 +757,13 @@ def deblock_frame(recon_y, recon_u, recon_v, sel, nnz_blk, mv4_y, mv4_x,
 
         # ---- chroma (u, v stacked on a plane axis) ----
         strip = jnp.concatenate([P_c[:, :, :, 6:8], cur_c], axis=3)
-        strip = deblock.filter_chroma_v(strip, bs_v, qpc, edge_x0=2)
+        strip = deblock.filter_chroma_v(strip, bs_v, qpc_v, edge_x0=2)
         P_c = jnp.where(valid[:, None], P_c.at[:, :, :, 7:8].set(
             strip[:, :, :, 1:2]), P_c)
         cur_c = strip[:, :, :, 2:10]
         P_c_up = jnp.concatenate([jnp.zeros_like(P_c[:1]), P_c[:-1]])
         strip = jnp.concatenate([P_c_up[:, :, 6:8, :], cur_c], axis=2)
-        strip = deblock.filter_chroma_h(strip, bs_h, qpc, edge_y0=2)
+        strip = deblock.filter_chroma_h(strip, bs_h, qpc_h, edge_y0=2)
         updc = jnp.concatenate([strip[1:, :, 1:2, :],
                                 jnp.zeros_like(strip[:1, :, 1:2, :])])
         P_c = jnp.where(vshift[:, None, None, None],
@@ -824,8 +914,19 @@ _N_PARTS = (1, 2, 2, 4)
 
 def symbolize(sel, mode16, cmode, i4modes, i4sym_v, i4sym_l,
               mv4_y, mv4_x, shape, dc_lev, ac_lev, lev_inter, cdc_lev,
-              cac_lev, mb_width: int, mb_height: int, has_inter: bool):
-    """CAVLC + syntax symbol assembly for one slice (I or P)."""
+              cac_lev, mb_width: int, mb_height: int, has_inter: bool,
+              svc_base_mode_bit: bool = False, qp_rows=None):
+    """CAVLC + syntax symbol assembly for one slice (I or P).
+
+    `svc_base_mode_bit`: slice lives in a scalable extension NAL with
+    `adaptive_base_mode_flag=1` — every coded macroblock_layer leads
+    with a base_mode_flag=0 bit (G.7.3.6.1; inter-layer intra frames
+    write base_mode_flag=1 through models/svc.py instead).
+
+    `qp_rows` ((mb_height,) or None): per-MB-row QP plan — emits real
+    `mb_qp_delta` along the scan (spec 7.4.5; reference `rc_mb_end`)
+    and returns the per-MB *decoded* running QP (`qp_dec`) that
+    deblocking must use (MBs that emit no dQP inherit the running QP)."""
     nmb = mb_width * mb_height
     ns = cavlc.N_SLOTS
     is_inter = sel == SEL_INTER
@@ -1018,34 +1119,55 @@ def symbolize(sel, mode16, cmode, i4modes, i4sym_v, i4sym_l,
     cbpl_ = jnp.where(coded & (is_inter | is_i4), cbpl_, 0)
 
     dqp_needed = coded & (is_i16 | (cbp != 0))
-    dqp_v = jnp.ones((nmb,), jnp.uint32)
-    dqp_l = jnp.where(dqp_needed, 1, 0)
+    if qp_rows is None:
+        dqp_v = jnp.ones((nmb,), jnp.uint32)        # se(0) = '1'
+        dqp_l = jnp.where(dqp_needed, 1, 0)
+        qp_dec = None
+    else:
+        qp_mb = jnp.repeat(qp_rows, mb_width)
+        idx = jnp.arange(nmb, dtype=jnp.int32)
+        emit_idx = jnp.where(dqp_needed, idx, -1)
+        run_idx = jax.lax.associative_scan(jnp.maximum, emit_idx)
+        prev_run = jnp.concatenate(
+            [jnp.full((1,), -1, jnp.int32), run_idx[:-1]])
+        qp_prev = jnp.where(prev_run >= 0,
+                            qp_mb[jnp.maximum(prev_run, 0)], qp_rows[0])
+        dqp_v, dqp_l_all = _se_codes(qp_mb - qp_prev)
+        dqp_l = jnp.where(dqp_needed, dqp_l_all, 0)
+        qp_dec = jnp.where(run_idx >= 0,
+                           qp_mb[jnp.maximum(run_idx, 0)], qp_rows[0])
+
+    # scalable-extension slices: base_mode_flag=0 u(1) before mb_type
+    bm_v = jnp.zeros((nmb, 1), jnp.uint32)
+    bm_l = (coded.astype(jnp.int32)[:, None]
+            if svc_base_mode_bit else jnp.zeros((nmb, 1), jnp.int32))
 
     hdr_vals = jnp.concatenate([
-        sr_v[:, None], mt_v[:, None], sub_v, mvd_vals,
+        sr_v[:, None], bm_v, mt_v[:, None], sub_v, mvd_vals,
         i4sym_v.astype(jnp.uint32), cm_v[:, None],
         cbpv[:, None], dqp_v[:, None]], axis=1)
     hdr_lens = jnp.concatenate([
-        sr_l[:, None], mt_l[:, None], sub_l, mvd_lens,
+        sr_l[:, None], bm_l, mt_l[:, None], sub_l, mvd_lens,
         i4sym_l, cm_l[:, None],
         cbpl_[:, None], dqp_l[:, None]], axis=1)
 
     # ---- assembly ---------------------------------------------------------
-    # (nmb, 28*ns) layout: unit 0 = MB header symbols (33 slots + 1 pad),
+    # (nmb, 28*ns) layout: unit 0 = MB header symbols (34 slots),
     # units 1..27 = the CAVLC blocks in decode order — a uniform
     # (nmb, 28, ns) unit grid that the hierarchical device packer
     # exploits (ops/bitpack.py). The trailing skip-run symbol of a P
     # slice is returned separately (appended on host after the MB bits).
-    pad1 = jnp.zeros((nmb, 1), jnp.uint32)
+    # unit 0 is exactly N_SLOTS wide: 33 syntax slots + the base_mode
+    # slot (zero-length unless svc_base_mode_bit)
     sym_vals = jnp.concatenate([
-        hdr_vals.astype(jnp.uint32), pad1,
+        hdr_vals.astype(jnp.uint32),
         dc_vals,
         luma_vals[:, _BLOCK_SCAN].reshape(nmb, 16 * ns),
         cdc_vals.reshape(nmb, 2 * ns),
         cac_vals.reshape(nmb, 8 * ns),
     ], axis=1)
     sym_lens = jnp.concatenate([
-        hdr_lens, pad1.astype(jnp.int32),
+        hdr_lens,
         dc_lens,
         luma_lens[:, _BLOCK_SCAN].reshape(nmb, 16 * ns),
         cdc_lens.reshape(nmb, 2 * ns),
@@ -1055,17 +1177,23 @@ def symbolize(sel, mode16, cmode, i4modes, i4sym_v, i4sym_l,
         tr_v = jnp.zeros((), jnp.uint32)
         tr_l = jnp.zeros((), jnp.int32)
 
-    return dict(sym_vals=sym_vals, sym_lens=sym_lens,
-                tail_val=tr_v.astype(jnp.uint32), tail_len=tr_l,
-                total_bits=(jnp.sum(sym_lens) + tr_l).astype(jnp.int32),
-                skip=skip, cbp=cbp, cbpc=cbpc,
-                mvd_py=mvd_py, mvd_px=mvd_px)
+    out = dict(sym_vals=sym_vals, sym_lens=sym_lens,
+               tail_val=tr_v.astype(jnp.uint32), tail_len=tr_l,
+               total_bits=(jnp.sum(sym_lens) + tr_l).astype(jnp.int32),
+               row_bits=(jnp.sum(sym_lens, axis=1)
+                         .reshape(mb_height, mb_width).sum(axis=1)),
+               skip=skip, cbp=cbp, cbpc=cbpc,
+               mvd_py=mvd_py, mvd_px=mvd_px)
+    if qp_dec is not None:
+        out["qp_dec"] = qp_dec
+    return out
 
 
 encode_frame = jax.jit(
     encode_frame_core,
     static_argnames=("mb_width", "mb_height", "has_inter", "enable_i4x4",
-                     "enable_deblock", "enable_partitions", "enable_qpel"))
+                     "enable_deblock", "enable_partitions", "enable_qpel",
+                     "svc_base_mode_bit"))
 
 
 def encode_frame_banded_core(src_y, src_u, src_v,
@@ -1075,7 +1203,9 @@ def encode_frame_banded_core(src_y, src_u, src_v,
                              has_inter: bool, enable_i4x4: bool,
                              enable_deblock: bool = False,
                              enable_partitions: bool = False,
-                             enable_qpel: bool = True):
+                             enable_qpel: bool = True,
+                             svc_base_mode_bit: bool = False,
+                             prev_my=None, prev_mx=None):
     """Encode B equal-height slice bands of one frame in a single
     dispatch: `jax.vmap` over the band axis turns each wavefront step
     into a (B, k)-wide batch, and under a `("band",)`-sharded mesh the
@@ -1094,23 +1224,32 @@ def encode_frame_banded_core(src_y, src_u, src_v,
         encode_frame_core,
         mb_width=mb_width, mb_height=band_rows, has_inter=has_inter,
         enable_i4x4=enable_i4x4, enable_deblock=enable_deblock,
-        enable_partitions=enable_partitions, enable_qpel=enable_qpel)
+        enable_partitions=enable_partitions, enable_qpel=enable_qpel,
+        svc_base_mode_bit=svc_base_mode_bit)
 
     qp_b = jnp.broadcast_to(jnp.asarray(qp, jnp.int32), (n_bands,))
     qpc_b = jnp.broadcast_to(jnp.asarray(qpc, jnp.int32), (n_bands,))
 
-    def one(sy, su, sv, r0, qp_1, qpc_1):
+    if prev_my is None:
+        def one(sy, su, sv, r0, qp_1, qpc_1):
+            return f(sy, su, sv, ref_y_pad, ref_u_pad, ref_v_pad, ref4_pad,
+                     qp_1, qpc_1, steps, avail_top, avail_left,
+                     mb_row_offset=r0)
+        return jax.vmap(one)(src_y, src_u, src_v, row0s, qp_b, qpc_b)
+
+    def one(sy, su, sv, r0, qp_1, qpc_1, pmy, pmx):
         return f(sy, su, sv, ref_y_pad, ref_u_pad, ref_v_pad, ref4_pad,
                  qp_1, qpc_1, steps, avail_top, avail_left,
-                 mb_row_offset=r0)
-
-    return jax.vmap(one)(src_y, src_u, src_v, row0s, qp_b, qpc_b)
+                 mb_row_offset=r0, prev_my=pmy, prev_mx=pmx)
+    return jax.vmap(one)(src_y, src_u, src_v, row0s, qp_b, qpc_b,
+                         prev_my, prev_mx)
 
 
 encode_frame_banded = jax.jit(
     encode_frame_banded_core,
     static_argnames=("mb_width", "band_rows", "has_inter", "enable_i4x4",
-                     "enable_deblock", "enable_partitions", "enable_qpel"))
+                     "enable_deblock", "enable_partitions", "enable_qpel",
+                     "svc_base_mode_bit"))
 
 
 def encode_intra_core(src_y_mb, src_u_mb, src_v_mb, qp, qpc,

@@ -28,14 +28,24 @@ _TC0 = jnp.asarray(tables.TC0_TABLE)       # [indexA][bS-1]
 
 
 def thresholds(qp_avg):
-    """(alpha, beta) for an edge given the average QP (offsets 0)."""
+    """(alpha, beta) for an edge given the average QP (offsets 0).
+    `qp_avg` may be a scalar or a per-lane array."""
     idx = jnp.clip(qp_avg, 0, 51)
     return _ALPHA[idx], _BETA[idx]
 
 
 def tc0_for(qp_avg, bs):
     idx = jnp.clip(qp_avg, 0, 51)
+    if jnp.ndim(idx) and jnp.ndim(bs) > jnp.ndim(idx):
+        idx = idx.reshape(idx.shape + (1,) * (jnp.ndim(bs) - jnp.ndim(idx)))
     return _TC0[idx, jnp.clip(bs - 1, 0, 2)]
+
+
+def _edge_shape(x, ref_ndim):
+    """Broadcast a per-lane (k,) threshold against (k, ...) samples."""
+    if jnp.ndim(x) == 0:
+        return x
+    return x.reshape(x.shape + (1,) * (ref_ndim - 1))
 
 
 def mb_edge_bs(intra_p, intra_q, nnz_p, nnz_q, mv_py, mv_px, mv_qy, mv_qx,
@@ -154,13 +164,18 @@ def filter_luma_v(strip, bs_edges, qp, edge_x0: int = 16):
     """Vertical edges of one MB batch. strip (k, 16, W): the current MB's
     leftmost column sits at `edge_x0` (columns edge_x0-4..edge_x0-1 come
     from the left neighbour). bs_edges (k, 4, 4): per edge e
-    (x = edge_x0 + 4e), per 4-row group. Returns filtered strip."""
-    alpha, beta = thresholds(qp)
+    (x = edge_x0 + 4e), per 4-row group. `qp` is a scalar, or (k, 4)
+    per-lane-per-edge (mb_qp_delta: edge 0 uses the two MBs' average QP,
+    spec 8.7.2.1). Returns filtered strip."""
+    per_edge = jnp.ndim(qp) == 2
     for e in range(4):
+        qpe = qp[:, e] if per_edge else qp
+        alpha, beta = thresholds(qpe)
         bs = expand_groups(bs_edges[:, e], 4)
-        tc0 = tc0_for(qp, bs)
+        tc0 = tc0_for(qpe, bs)
         strip = _filter_luma_cols(strip, edge_x0 + 4 * e, bs,
-                                  alpha, beta, tc0)
+                                  _edge_shape(alpha, 2),
+                                  _edge_shape(beta, 2), tc0)
     return strip
 
 
@@ -178,15 +193,19 @@ def filter_chroma_v(strip, bs_edges, qpc, edge_x0: int = 8):
     from the left neighbour). Two edges (x = edge_x0, edge_x0+4) using
     luma edge groups 0 and 2; bs rows expanded from 4 luma row-groups to
     8 chroma rows (2 each). Leading axes broadcast, so (k, 2, 8, W)
-    filters u and v in one call."""
-    alpha, beta = thresholds(qpc)
+    filters u and v in one call. `qpc` scalar or (k, 2) per lane per
+    chroma edge (MB edge, internal edge)."""
+    per_edge = jnp.ndim(qpc) == 2
     extra = strip.ndim - 3
     for ci, e in enumerate((0, 2)):
+        qpe = qpc[:, ci] if per_edge else qpc
+        alpha, beta = thresholds(qpe)
         bs = expand_groups(bs_edges[:, e], 2)
         bs = bs.reshape(bs.shape[:1] + (1,) * extra + bs.shape[1:])
-        tc0 = tc0_for(qpc, bs)
+        tc0 = tc0_for(qpe, bs)
         strip = _filter_chroma_cols(strip, edge_x0 + 4 * ci, bs,
-                                    alpha, beta, tc0)
+                                    _edge_shape(alpha, strip.ndim - 1),
+                                    _edge_shape(beta, strip.ndim - 1), tc0)
     return strip
 
 

@@ -239,12 +239,23 @@ def pred_from_windows(wins, dyq: int, dxq: int, center: int,
     return table[(fx, fy)]()
 
 
+MAX_CAND_FP = qpel.GUARD - WIN_M - 3   # full-pel candidate-centre clip
+
+
 def motion_search_dense(cur_plane, cur_tiles, ref_pad, ref4_pad,
                         base_y, base_x, qp,
                         mb_height: int, mb_width: int, row_offset,
                         enable_subpel: bool = True,
-                        mvp_y=None, mvp_x=None):
+                        mvp_y=None, mvp_x=None,
+                        prev_my=None, prev_mx=None):
     """Hierarchical gather-free ME (see module docstring).
+
+    `prev_my`/`prev_mx` (optional, (nmb,) full-pel int32): the previous
+    frame's co-located MV field — a third candidate centre that both
+    extends reach beyond the coarse stage's +-32 px (tracking motion
+    accumulates across frames, the dense analog of the reference's
+    candidate harvest `src/h264-lab.h:5370-5412`) and de-aliases
+    periodic content.
 
     Returns (mv_y_q, mv_x_q, cost, pred, aux) with pred (nmb, 16, 16)
     uint8 (the final MC luma) and aux = dict(wins, full_my/mx, cy4/cx4)
@@ -265,37 +276,65 @@ def motion_search_dense(cur_plane, cur_tiles, ref_pad, ref4_pad,
     # costs MV bits against it (see module docstring)
     mvp_y, mvp_x = spatial_predictor(cy4, cx4, mb_height, mb_width)
 
-    # one full-pel window per MB around the coarse winner
-    win = _slice_windows(ref_pad, base_y + 4 * cy4 - WIN_M,
-                         base_x + 4 * cx4 - WIN_M,
-                         WIN_S, WIN_S).astype(jnp.int32)
     cur_i = cur_tiles.astype(jnp.int32)
+    zero = jnp.zeros((nmb,), jnp.int32)
 
-    # ---- full-pel +-3 dense refine (static slices of the window) ----
+    # ---- candidate full-pel centres, each refined by a +-3 dense sweep
+    # of static window slices. The coarse winner alone is unreliable on
+    # periodic content (the 4x pyramid aliases: a chessboard matches
+    # itself at multiples of its cell period, so the dense coarse SAD
+    # has spurious global minima the +-3 refine cannot escape); the
+    # zero-MV and previous-MV candidates restore the local minimum the
+    # reference's descent-from-predictor reaches
+    # (`src/h264-lab.h:5263-5277`).
+    cands = [(4 * cy4, 4 * cx4), (zero, zero)]
+    if prev_my is not None:
+        cands.append((jnp.clip(prev_my, -MAX_CAND_FP, MAX_CAND_FP),
+                      jnp.clip(prev_mx, -MAX_CAND_FP, MAX_CAND_FP)))
+
     best_cost = jnp.full((nmb,), 1 << 30, jnp.int32)
-    best_dy = jnp.zeros((nmb,), jnp.int32)
-    best_dx = jnp.zeros((nmb,), jnp.int32)
-    for dy in range(-REFINE_R, REFINE_R + 1):
-        for dx in range(-REFINE_R, REFINE_R + 1):
-            blk = win[:, WIN_M + dy:WIN_M + dy + 16,
-                      WIN_M + dx:WIN_M + dx + 16]
-            sad = jnp.sum(jnp.abs(cur_i - blk), axis=(1, 2))
-            myq = (cy4 * 4 + dy) * 4
-            mxq = (cx4 * 4 + dx) * 4
-            cost = sad + lam * (mv_bits(myq - mvp_y) + mv_bits(mxq - mvp_x))
-            upd = cost < best_cost
-            best_cost = jnp.where(upd, cost, best_cost)
-            best_dy = jnp.where(upd, dy, best_dy)
-            best_dx = jnp.where(upd, dx, best_dx)
+    full_my = jnp.zeros((nmb,), jnp.int32)
+    full_mx = jnp.zeros((nmb,), jnp.int32)
+    A = None
+    for cm_y, cm_x in cands:
+        win = _slice_windows(ref_pad, base_y + cm_y - WIN_M,
+                             base_x + cm_x - WIN_M,
+                             WIN_S, WIN_S).astype(jnp.int32)
+        c_cost = jnp.full((nmb,), 1 << 30, jnp.int32)
+        c_dy = jnp.zeros((nmb,), jnp.int32)
+        c_dx = jnp.zeros((nmb,), jnp.int32)
+        for dy in range(-REFINE_R, REFINE_R + 1):
+            for dx in range(-REFINE_R, REFINE_R + 1):
+                blk = win[:, WIN_M + dy:WIN_M + dy + 16,
+                          WIN_M + dx:WIN_M + dx + 16]
+                sad = jnp.sum(jnp.abs(cur_i - blk), axis=(1, 2))
+                myq = (cm_y + dy) * 4
+                mxq = (cm_x + dx) * 4
+                cost = sad + lam * (mv_bits(myq - mvp_y)
+                                    + mv_bits(mxq - mvp_x))
+                upd = cost < c_cost
+                c_cost = jnp.where(upd, cost, c_cost)
+                c_dy = jnp.where(upd, dy, c_dy)
+                c_dx = jnp.where(upd, dx, c_dx)
+        # re-centre this candidate's window on its refined winner:
+        # A_c[p] = win[winner - 5 + p]
+        A_c = _shift_select(win, c_dy, -REFINE_R, REFINE_R,
+                            WIN_M - 5, ALN_S, axis=1)
+        A_c = _shift_select(A_c, c_dx, -REFINE_R, REFINE_R,
+                            WIN_M - 5, ALN_S, axis=2)
+        upd = c_cost < best_cost
+        best_cost = jnp.where(upd, c_cost, best_cost)
+        full_my = jnp.where(upd, cm_y + c_dy, full_my)
+        full_mx = jnp.where(upd, cm_x + c_dx, full_mx)
+        A = A_c if A is None else jnp.where(upd[:, None, None], A_c, A)
 
-    full_my = cy4 * 4 + best_dy                      # full-pel winner
-    full_mx = cx4 * 4 + best_dx
+    # materialize the refine stage: the candidate sweeps above are long
+    # select chains that XLA's fusion otherwise *duplicates into every
+    # consumer* (measured: a 12-MB P frame exploded to ~560k scalarized
+    # HLO instructions and ~2 min of CPU time without these cuts)
+    best_cost, full_my, full_mx, A = jax.lax.optimization_barrier(
+        (best_cost, full_my, full_mx, A))
 
-    # re-centre the window on the winner: A[p] = win[winner - 5 + p]
-    A = _shift_select(win, best_dy, -REFINE_R, REFINE_R,
-                      WIN_M - 5, ALN_S, axis=1)
-    A = _shift_select(A, best_dx, -REFINE_R, REFINE_R,
-                      WIN_M - 5, ALN_S, axis=2)
     aux = dict(cy4=cy4, cx4=cx4, full_my=full_my, full_mx=full_mx,
                wins=None, mvp_y=mvp_y, mvp_x=mvp_x)
 
@@ -330,6 +369,8 @@ def motion_search_dense(cur_plane, cur_tiles, ref_pad, ref4_pad,
             best_yq = jnp.where(upd, mvy, best_yq)
             best_xq = jnp.where(upd, mvx, best_xq)
             best_pred = jnp.where(upd[:, None, None], pred, best_pred)
+    best_yq, best_xq, best_cost, best_pred = jax.lax.optimization_barrier(
+        (best_yq, best_xq, best_cost, best_pred))
     return best_yq, best_xq, best_cost, best_pred.astype(jnp.uint8), aux
 
 
@@ -399,6 +440,8 @@ def _search_geometry(cur_tiles, wins, lam, offsets, bh: int, bw: int,
             best_yq = jnp.where(upd, mvy, best_yq)
             best_xq = jnp.where(upd, mvx, best_xq)
             best_pred = jnp.where(upd[:, None, None], pred, best_pred)
+    best_yq, best_xq, best_cost, best_pred = jax.lax.optimization_barrier(
+        (best_yq, best_xq, best_cost, best_pred))
     return (best_cost.reshape(nb, k), best_yq.reshape(nb, k),
             best_xq.reshape(nb, k), best_pred.reshape(nb, k, bh, bw))
 

@@ -20,10 +20,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-GUARD = 48  # luma guard ring in pixels: covers the full +-32 MV range
+GUARD = 64  # luma guard ring in pixels: covers the coarse +-32 MV range
             # (reference MV_RANGE=32 + MV_GUARD, `src/h264-lab.h:3221-3222`)
-            # plus the +-3 refine, 6-tap support and the ME window margin
-            # (window origins must stay >= 0: dynamic_slice clamps)
+            # plus the +-3 refine, 6-tap support, the ME window margin
+            # (window origins must stay >= 0: dynamic_slice clamps) and
+            # the previous-frame-MV candidate reach (me.MAX_CAND_FP =
+            # GUARD - WIN_M - 3 = 52 full-pel)
 
 
 def pad_guard(plane: jnp.ndarray, guard: int = GUARD) -> jnp.ndarray:
@@ -164,31 +166,34 @@ def mc_chroma(plane: jnp.ndarray, mv_y: jnp.ndarray, mv_x: jnp.ndarray,
     return out.astype(jnp.uint8)
 
 
-def mc_chroma_uniform(u_pad, v_pad, cb_y, cb_x, cy4, cx4, mv_y, mv_x):
+def mc_chroma_uniform(u_pad, v_pad, cb_y, cb_x, full_my, full_mx,
+                      mv_y, mv_x):
     """Uniform-MV (16x16) chroma MC for both planes from one window
-    slice per MB: a (2, 14, 14) stacked-plane window around the coarse
-    ME centre, re-centred on the final MV with 4-way shift-selects, then
-    the spec 8.4.2.2.2 eighth-pel bilinear with dynamic weights.
+    slice per MB: a (2, 10, 10) stacked-plane window around the full-pel
+    ME winner, re-centred on the final quarter-pel MV with 2-way
+    shift-selects, then the spec 8.4.2.2.2 eighth-pel bilinear with
+    dynamic weights.
 
-    cb_*: chroma block bases in padded coords; cy4/cx4: coarse-stage
-    winner (4-full-pel units); mv in luma quarter-pel. Returns (pred_u,
-    pred_v) each (k, 8, 8) uint8."""
+    cb_*: chroma block bases in padded coords; full_my/full_mx: final
+    full-pel winner (the sub-pel sweep stays within +-0.75 px of it);
+    mv in luma quarter-pel. Returns (pred_u, pred_v) each (k, 8, 8)
+    uint8."""
     uv = jnp.stack([u_pad, v_pad])
-    k = cb_y.shape[0]
-    CW = 14
-    oy = cb_y + 2 * cy4 - 2
-    ox = cb_x + 2 * cx4 - 2
+    CW = 10
+    oy = cb_y + (full_my >> 1) - 1
+    ox = cb_x + (full_mx >> 1) - 1
     f = jax.vmap(lambda y, x: jax.lax.dynamic_slice(uv, (0, y, x),
                                                     (2, CW, CW)))
-    win = f(oy, ox).astype(jnp.int32)            # (k, 2, 14, 14)
+    win = f(oy, ox).astype(jnp.int32)            # (k, 2, 10, 10)
 
-    # integer re-centring: chroma px offset of the final MV vs the window
-    ry = (mv_y >> 3) - 2 * cy4 + 2               # in [0, 3]
-    rx = (mv_x >> 3) - 2 * cx4 + 2
+    # integer re-centring: chroma px offset of the final MV vs the
+    # window origin; mv within full winner +-0.75 px makes this 0 or 1
+    ry = (mv_y >> 3) - ((full_my >> 1) - 1)      # in [0, 1]
+    rx = (mv_x >> 3) - ((full_mx >> 1) - 1)
 
     def shift(x, sel, axis):
         out = None
-        for s in range(0, 4):
+        for s in range(0, 2):
             idx = [slice(None)] * x.ndim
             idx[axis] = slice(s, s + 9)
             sl = x[tuple(idx)]

@@ -51,7 +51,7 @@ def make_mesh(n_gop: int, n_band: int, devices=None) -> Mesh:
     return Mesh(dev, axis_names=("gop", "band"))
 
 
-def _gop_banded_core(src_y, src_u, src_v, refs, qp, qpc,
+def _gop_banded_core(src_y, src_u, src_v, refs, qp, qpc, prev_my, prev_mx,
                      steps, avail_top, avail_left, row0s,
                      mb_width: int, band_rows: int, n_bands: int,
                      has_inter: bool, enable_i4x4: bool,
@@ -74,7 +74,7 @@ def _gop_banded_core(src_y, src_u, src_v, refs, qp, qpc,
         return (p.reshape(h // t, t, w // t, t).transpose(0, 2, 1, 3)
                 .reshape(n_bands, nmb_b, t, t))
 
-    def one_lane(py, pu, pv, ref, qp_l, qpc_l):
+    def one_lane(py, pu, pv, ref, qp_l, qpc_l, pmy_l, pmx_l):
         sy, su, sv = tiles(py, 16), tiles(pu, 8), tiles(pv, 8)
         if ref is None:
             dummy = jnp.zeros((8, 8), jnp.uint8)
@@ -88,7 +88,9 @@ def _gop_banded_core(src_y, src_u, src_v, refs, qp, qpc,
             mb_width=mb_width, band_rows=band_rows,
             has_inter=has_inter, enable_i4x4=enable_i4x4,
             enable_deblock=enable_deblock,
-            enable_partitions=enable_partitions, enable_qpel=enable_qpel)
+            enable_partitions=enable_partitions, enable_qpel=enable_qpel,
+            prev_my=pmy_l if has_inter else None,
+            prev_mx=pmx_l if has_inter else None)
         # pack each band's symbol stream on device
         words, nbits = jax.vmap(
             lambda v, l: bitpack.pack_frame_fast(v, l, cap_words))(
@@ -102,11 +104,12 @@ def _gop_banded_core(src_y, src_u, src_v, refs, qp, qpc,
             df_y, df_u, df_v, mb_width, band_rows * n_bands)
         return dict(words=words, nbits=nbits, total_bits=out["total_bits"],
                     tail_val=out["tail_val"], tail_len=out["tail_len"],
-                    df_y=df_y, df_u=df_u, df_v=df_v), new_ref
+                    df_y=df_y, df_u=df_u, df_v=df_v,
+                    pmv_y=out["mv_y"] >> 2, pmv_x=out["mv_x"] >> 2), new_ref
 
-    in_axes = (0, 0, 0, None if refs is None else 0, 0, 0)
+    in_axes = (0, 0, 0, None if refs is None else 0, 0, 0, 0, 0)
     return jax.vmap(one_lane, in_axes=in_axes)(
-        src_y, src_u, src_v, refs, qp, qpc)
+        src_y, src_u, src_v, refs, qp, qpc, prev_my, prev_mx)
 
 
 _gop_banded = jax.jit(
@@ -176,16 +179,31 @@ class GopBandEncoder:
                 "pre-filter the input or use H264Encoder")
         self.n_bands = cfg.slice_bands
         self.band_rows = cfg.mb_height // cfg.slice_bands
-        # typical-frame packed capacity (~256 bits/MB to start); overflow
-        # is detected in finish_step and re-dispatches at a larger bucket
-        # (the worst case, WORDS_PER_MB, never transfers by default)
-        self.cap_words = max(
-            1024, 1 << int(np.ceil(np.log2(
-                self.band_rows * cfg.mb_width * 8 + 1))))
         self.max_cap_words = 1 << int(np.ceil(np.log2(
             self.band_rows * cfg.mb_width * WORDS_PER_MB)))
+        # Packed capacity is sized per frame type (a static shape — each
+        # distinct bucket is its own compiled program, so mis-sizing the
+        # first dispatch would force a full recompile mid-stream):
+        #   - I/IDR frames go straight to the spec worst-case bucket
+        #     (WORDS_PER_MB) — intra frames are rare (1/gop), their bits
+        #     are content-dependent and can approach the bound (a busy
+        #     1080p IDR measures >1000 bits/MB), and the oversized
+        #     transfer costs ~ms while an overflow recompile costs
+        #     minutes.
+        #   - P frames start at a typical ~256 bits/MB bucket; overflow
+        #     is detected in finish_step and re-dispatches at a larger
+        #     bucket (then sticks there).
+        self.idr_cap_words = self.max_cap_words
+        self.p_cap_words = max(
+            1024, 1 << int(np.ceil(np.log2(
+                self.band_rows * cfg.mb_width * 8 + 1))))
         self.frame_num = 0
         self.step_idx = 0
+        # per-lane previous-frame full-pel MV fields (G, B, nmb_band) —
+        # the ME candidate centre carried across steps (me.py); None
+        # right after an IDR (zeros are dispatched, matching the
+        # sequential encoder exactly)
+        self._prev_mv = None
         self.rc = [RateControl(cfg.n_mb, cfg.gop, cfg.vbv_size_bytes, cfg.qp)
                    for _ in range(n_gop)]
         self._refs = None
@@ -285,17 +303,24 @@ class GopBandEncoder:
         row0s = jnp.asarray(
             np.arange(B, dtype=np.int32) * self.band_rows)
 
+        nmb_b = self.band_rows * mbw
+        if has_inter and self._prev_mv is not None:
+            pmy, pmx = self._prev_mv
+        else:
+            pmy = pmx = self._shard(
+                jnp.zeros((G, B, nmb_b), jnp.int32), P("gop", "band"))
         args = (src_y, src_u, src_v,
                 self._refs if has_inter else None,
                 self._shard(qp_arr, P("gop")), self._shard(qpc_arr, P("gop")),
+                pmy, pmx,
                 steps, a_top, a_left, row0s)
         kwargs = dict(mb_width=mbw, band_rows=self.band_rows, n_bands=B,
                       has_inter=has_inter, enable_i4x4=enable_i4x4,
                       enable_deblock=enable_deblock,
                       enable_partitions=enable_partitions,
                       enable_qpel=enable_qpel)
-        out, new_refs = _gop_banded(*args, cap_words=self.cap_words,
-                                    **kwargs)
+        cap = self.idr_cap_words if is_idr else self.p_cap_words
+        out, new_refs = _gop_banded(*args, cap_words=cap, **kwargs)
         old_refs = self._refs
         if any(transparent) and old_refs is not None:
             # transparent lanes keep their previous reference picture
@@ -306,6 +331,20 @@ class GopBandEncoder:
                 old_refs, new_refs)
         else:
             self._refs = new_refs
+
+        if is_idr:
+            self._prev_mv = None
+        else:
+            new_prev = (out["pmv_y"], out["pmv_x"])
+            if any(transparent):
+                # transparent lanes keep their previous MV field too
+                m3 = jnp.asarray(np.asarray(transparent)).reshape(G, 1, 1)
+                oldp = self._prev_mv or (jnp.zeros_like(new_prev[0]),
+                                         jnp.zeros_like(new_prev[1]))
+                self._prev_mv = (jnp.where(m3, oldp[0], new_prev[0]),
+                                 jnp.where(m3, oldp[1], new_prev[1]))
+            else:
+                self._prev_mv = new_prev
 
         self.step_idx += 1
         fn_use = 0 if is_idr else self.frame_num
@@ -324,15 +363,17 @@ class GopBandEncoder:
         frame_num = p.frame_num
         return_recon = p.return_recon
         nbits = np.asarray(p.out["nbits"])          # (G, B)
-        # capacity overflow: re-dispatch the step at a larger bucket
+        # capacity overflow (P frames only — IDR dispatches at the spec
+        # worst-case bucket): re-dispatch the step at a larger bucket
         # (rare; buffers and transfers stay sized for the typical frame)
-        while int(nbits.max(initial=0)) > 32 * self.cap_words:
-            if self.cap_words >= self.max_cap_words:
+        while (not p.is_idr
+               and int(nbits.max(initial=0)) > 32 * self.p_cap_words):
+            if self.p_cap_words >= self.max_cap_words:
                 raise RuntimeError("packed stream exceeds spec bound")
             need = int(nbits.max()) // 32 + 2
-            while self.cap_words < min(need * 2, self.max_cap_words):
-                self.cap_words *= 2
-            out, _ = _gop_banded(*p.redo_args, cap_words=self.cap_words,
+            while self.p_cap_words < min(need * 2, self.max_cap_words):
+                self.p_cap_words *= 2
+            out, _ = _gop_banded(*p.redo_args, cap_words=self.p_cap_words,
                                  **p.redo_kwargs)
             p.out = out
             nbits = np.asarray(p.out["nbits"])

@@ -61,6 +61,7 @@ class RateControl:
         self._lut = {True: [0.0] * (QP_MAX_TAB + 1),
                      False: [0.0] * (QP_MAX_TAB + 1)}
         self._band_shares = None        # prev frame per-band bit fractions
+        self._row_shares = None         # prev frame per-MB-row bit fractions
 
     # ------------------------------------------------------------------
     def _bits_per_mb(self, qp: int, is_intra: bool) -> float:
@@ -101,22 +102,20 @@ class RateControl:
         return self.qp
 
     # ------------------------------------------------------------------
-    def band_qp_offsets(self, n_bands: int, is_intra: bool,
-                        desired_frame_bytes: int,
-                        qp_min: int, qp_max: int) -> list:
-        """Per-band QP for fine (sub-frame) rate control — the parallel
-        analog of the reference's `rc_mb_end` along-the-scan correction
-        (`src/h264-lab.h:6146-6179`). Simulates the scan over bands with
-        the previous frame's measured band shares as the bits predictor:
-        a band that is predicted to push the running total over the
-        pro-rata budget encodes at a higher QP, and vice versa. Returns
-        n_bands QPs (clamped to [qp_min, qp_max], offsets within +-2 of
-        the frame QP). With no history or no byte target, uniform QPs."""
+    def _scan_qp_plan(self, shares, n: int, is_intra: bool,
+                      desired_frame_bytes: int,
+                      qp_min: int, qp_max: int) -> list:
+        """Shared fine-RC planner: simulate the scan over `n` segments
+        with `shares` (previous frame's measured per-segment bit
+        fractions) as the bits predictor — the parallel analog of the
+        reference's `rc_mb_end` along-the-scan QP correction
+        (`src/h264-lab.h:6146-6179`). A segment predicted to push the
+        running total over the pro-rata budget encodes at a higher QP,
+        and vice versa (offsets within +-2 of the frame QP)."""
         qp = self.qp
-        if (desired_frame_bytes <= 0 or n_bands < 2 or qp_min == qp_max
-                or self._band_shares is None
-                or len(self._band_shares) != n_bands):
-            return [max(qp_min, min(qp_max, qp))] * n_bands
+        if (desired_frame_bytes <= 0 or n < 2 or qp_min == qp_max
+                or shares is None or len(shares) != n):
+            return [max(qp_min, min(qp_max, qp))] * n
 
         target = desired_frame_bytes * 8
         if is_intra and self.gop > 1:
@@ -125,17 +124,41 @@ class RateControl:
         qps = []
         cum_spent = 0.0
         cum_budget = 0.0
-        for b in range(n_bands):
+        for b in range(n):
             drift = (cum_spent - cum_budget) / max(target, 1.0)
             dqp = max(-2, min(2, round(8.0 * drift)))
             q = max(qp_min, min(qp_max, qp + dqp))
             qps.append(q)
-            # predicted bits of this band at its adjusted QP
-            band_pred = (frame_pred * self._band_shares[b]
-                         * 2.0 ** ((qp - q) / 6.0))
-            cum_spent += band_pred
-            cum_budget += target / n_bands
+            # predicted bits of this segment at its adjusted QP
+            seg_pred = (frame_pred * shares[b] * 2.0 ** ((qp - q) / 6.0))
+            cum_spent += seg_pred
+            cum_budget += target / n
         return qps
+
+    def band_qp_offsets(self, n_bands: int, is_intra: bool,
+                        desired_frame_bytes: int,
+                        qp_min: int, qp_max: int) -> list:
+        """Per-band (slice) QP plan: each band is its own slice, so the
+        plan is plain slice_qp syntax. Uniform without history/target."""
+        return self._scan_qp_plan(self._band_shares, n_bands, is_intra,
+                                  desired_frame_bytes, qp_min, qp_max)
+
+    def row_qp_offsets(self, n_rows: int, is_intra: bool,
+                       desired_frame_bytes: int,
+                       qp_min: int, qp_max: int) -> list:
+        """Per-MB-row QP plan inside ONE slice — emitted as real
+        `mb_qp_delta` syntax by the MB engine (mbscan.symbolize), so
+        fine rate control works at slice_bands=1. Feed measured per-row
+        bits back via `note_row_bits`."""
+        return self._scan_qp_plan(self._row_shares, n_rows, is_intra,
+                                  desired_frame_bytes, qp_min, qp_max)
+
+    def note_row_bits(self, row_bits) -> None:
+        """Record measured per-MB-row bits (the `row_bits` output of the
+        MB engine) as next frame's fine-RC predictor."""
+        tot = float(sum(int(b) for b in row_bits))
+        if tot > 0:
+            self._row_shares = [int(b) / tot for b in row_bits]
 
     # ------------------------------------------------------------------
     def frame_end(self, is_intra: bool, actual_bytes: int,
@@ -190,7 +213,9 @@ class RateControl:
                 "lut_i": list(self._lut[True]),
                 "lut_p": list(self._lut[False]),
                 "band_shares": (None if self._band_shares is None
-                                else list(self._band_shares))}
+                                else list(self._band_shares)),
+                "row_shares": (None if self._row_shares is None
+                               else list(self._row_shares))}
 
     def set_state(self, st: dict):
         self.qp = st["qp"]
@@ -199,6 +224,8 @@ class RateControl:
         self._lut = {True: list(st["lut_i"]), False: list(st["lut_p"])}
         bs = st.get("band_shares")
         self._band_shares = None if bs is None else list(bs)
+        rs = st.get("row_shares")
+        self._row_shares = None if rs is None else list(rs)
 
 
 def filler_nal(n_payload_bytes: int) -> bytes:

@@ -46,7 +46,7 @@ def main():
 
     f_me = jax.jit(lambda cp, tt: me.motion_search_dense(
         cp, tt, ref["y_pad"], ref["y4_pad"], base_y, base_x, jnp.int32(QP),
-        MBH, MBW, 0)[:4])
+        MBH, MBW, 0))
     print("me_hier (new coarse)          %.1f ms" % t(f_me, cur_plane, ty))
 
     f_coarse = jax.jit(lambda cp: me.coarse_search_4x(
@@ -71,7 +71,7 @@ def main():
     cb_x = qpel.GUARD // 2 + 8 * cc
     f_cmc = jax.jit(lambda my, mx: qpel.mc_chroma_uniform(
         ref["u_pad"], ref["v_pad"], cb_y, cb_x,
-        aux["cy4"], aux["cx4"], my, mx))
+        aux["full_my"], aux["full_mx"], my, mx))
     print("chroma MC uniform             %.1f ms" % t(f_cmc, mvy, mvx))
 
     # diag_order cost: 9 gathers like the scan setup
