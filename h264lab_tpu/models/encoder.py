@@ -316,11 +316,13 @@ class H264Encoder:
             rows, 2 if (enable_i4x4 or is_intra_frame) else 1)
         if n_bands == 1:
             if is_intra_frame:
-                out = mbscan.encode_intra_frame(
+                dummy = jnp.zeros((8, 8), jnp.uint8)
+                out = mbscan.encode_frame_staged(
                     jnp.asarray(ty), jnp.asarray(tu), jnp.asarray(tv),
+                    dummy, dummy, dummy, dummy,
                     jnp.int32(qp), jnp.int32(qpc),
                     steps, a_top, a_left,
-                    mbw, rows, enable_i4x4=True,
+                    mbw, rows, has_inter=False, enable_i4x4=True,
                     enable_deblock=enable_deblock)
             else:
                 ref = self._refs[max(lt_use, 0)]
@@ -339,7 +341,7 @@ class H264Encoder:
                         np.int32))
                 else:
                     qp_arg, qpc_arg = jnp.int32(qp), jnp.int32(qpc)
-                out = mbscan.encode_frame(
+                out = mbscan.encode_frame_staged(
                     jnp.asarray(ty), jnp.asarray(tu), jnp.asarray(tv),
                     ref["y_pad"], ref["u_pad"], ref["v_pad"],
                     ref["y4_pad"],
@@ -366,7 +368,7 @@ class H264Encoder:
                 [int(tables.QPC_FROM_QPY[q]) for q in band_qps], np.int32))
             if is_intra_frame:
                 dummy = jnp.zeros((8, 8), jnp.uint8)
-                bout = mbscan.encode_frame_banded(
+                bout = mbscan.encode_frame_banded_staged(
                     by, bu, bv, dummy, dummy, dummy, dummy,
                     qp_arr, qpc_arr,
                     steps, a_top, a_left, row0s,
@@ -380,7 +382,7 @@ class H264Encoder:
                 else:
                     z = jnp.zeros((n_bands, nmb_b), jnp.int32)
                     prev = (z, z)
-                bout = mbscan.encode_frame_banded(
+                bout = mbscan.encode_frame_banded_staged(
                     by, bu, bv,
                     ref["y_pad"], ref["u_pad"], ref["v_pad"],
                     ref["y4_pad"],

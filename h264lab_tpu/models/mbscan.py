@@ -142,148 +142,174 @@ def _encode_inter_luma(src, pred, qp):
 
 
 # ---------------------------------------------------------------------------
-# the frame scan
+# the frame pipeline, as separately-jittable stages
+#
+# Stage boundaries mirror the C encoder's own staging (`encode_slice`
+# `src/h264-lab.h:6409-6461` drives mb_encode / mb_write / deblock as
+# separate phases): ME+inter-TQ -> mode selection (+intra TQ) ->
+# symbolization -> deblocking -> bit packing. Each stage compiles as its
+# own XLA program: dispatch between stages costs microseconds, while
+# compile cost becomes additive and *shared* across frame-type / speed /
+# capacity variants (an IDR program and a P program reuse the same
+# symbolize/deblock/pack executables) instead of multiplicative.
 # ---------------------------------------------------------------------------
 
-def encode_frame_core(src_y_mb, src_u_mb, src_v_mb,
-                      ref_y_pad, ref_u_pad, ref_v_pad, ref4_pad,
-                      qp, qpc, steps, avail_top, avail_left,
-                      mb_width: int, mb_height: int,
-                      has_inter: bool, enable_i4x4: bool,
-                      enable_deblock: bool = False,
-                      enable_partitions: bool = False,
-                      enable_qpel: bool = True,
-                      svc_base_mode_bit: bool = False,
-                      mb_row_offset=0,
-                      prev_my=None, prev_mx=None):
-    """Encode one frame or slice band. For I frames pass dummy ref planes
-    and has_inter=False (they are ignored). `mb_row_offset` places a band
-    within the full-frame reference planes (multi-slice encoding): all
-    entropy/prediction contexts stay band-local (slices are independent),
-    but motion compensation reads the full reference picture.
 
-    `qp`/`qpc` may be scalars (uniform slice QP) or per-MB-row
-    (mb_height,) arrays — MB-granular fine rate control via
-    `mb_qp_delta` (reference `rc_mb_end`, `src/h264-lab.h:6146-6179`).
-    Per-row QP is supported on the fully-parallel P path (has_inter and
-    not enable_i4x4): QP only enters quantization, the dQP syntax and
-    the deblocking thresholds, so the row plan adds no wavefront
-    dependency."""
+def _qp_views(qp, qpc, mb_width: int):
+    """Uniform-vs-per-row QP plumbing: returns (qp0, tq_qp, tq_qpc,
+    tq_qpc2, per_row_qp). Per-row (mb_height,) arrays feed MB-granular
+    fine rate control via mb_qp_delta."""
+    if jnp.ndim(qp) == 1:
+        qp_mb = jnp.repeat(qp, mb_width)           # (nmb,)
+        qpc_mb = jnp.repeat(qpc, mb_width)
+        return qp[0], qp_mb, qpc_mb, jnp.concatenate([qpc_mb, qpc_mb]), True
+    return qp, qp, qpc, qpc, False
+
+
+def inter_stage_core(src_y_mb, src_u_mb, src_v_mb,
+                     ref_y_pad, ref_u_pad, ref_v_pad, ref4_pad,
+                     qp, qpc, mb_row_offset, prev_my, prev_mx,
+                     mb_width: int, mb_height: int,
+                     enable_partitions: bool = False,
+                     enable_qpel: bool = True):
+    """Stage 1 (P frames): hierarchical dense ME + partition search + MC
+    + inter transform/quant — fully parallel over MBs (ops/me.py; the
+    TPU-native form of the reference's `inter_choose_mode` + diamond
+    search, `src/h264-lab.h:5283-5524`)."""
     nmb = mb_width * mb_height
     rr = jnp.arange(nmb, dtype=jnp.int32) // mb_width
     cc = jnp.arange(nmb, dtype=jnp.int32) % mb_width
-    per_row_qp = jnp.ndim(qp) == 1
-    if per_row_qp:
-        if not (has_inter and not enable_i4x4):
-            raise NotImplementedError(
-                "per-row QP requires the fully-parallel P path "
-                "(encode_speed >= 2)")
-        qp_mb = jnp.repeat(qp, mb_width)           # (nmb,)
-        qpc_mb = jnp.repeat(qpc, mb_width)
-        qp0 = qp[0]                                # slice_qp / ME lambda
-        tq_qp, tq_qpc = qp_mb, qpc_mb
-        tq_qpc2 = jnp.concatenate([qpc_mb, qpc_mb])
-    else:
-        qp0 = qp
-        tq_qp, tq_qpc = qp, qpc
-        tq_qpc2 = qpc
+    qp0, tq_qp, _, tq_qpc2, _ = _qp_views(qp, qpc, mb_width)
     lam = me.lambda_me(qp0)
 
-    # ---------------- stage 1 (P): ME + MC + inter TQ --------------------
-    if has_inter:
-        base_y = qpel.GUARD + 16 * (rr + mb_row_offset)
-        base_x = qpel.GUARD + 16 * cc
-        # band luma plane for the gather-free hierarchical search
-        cur_plane = (src_y_mb.reshape(mb_height, mb_width, 16, 16)
-                     .transpose(0, 2, 1, 3)
-                     .reshape(mb_height * 16, mb_width * 16))
-        mv_y, mv_x, cost16, pred16, aux = me.motion_search_dense(
-            cur_plane, src_y_mb, ref_y_pad, ref4_pad, base_y, base_x, qp0,
-            mb_height, mb_width, mb_row_offset, enable_subpel=enable_qpel,
-            prev_my=prev_my, prev_mx=prev_mx)
+    base_y = qpel.GUARD + 16 * (rr + mb_row_offset)
+    base_x = qpel.GUARD + 16 * cc
+    # band luma plane for the gather-free hierarchical search
+    cur_plane = (src_y_mb.reshape(mb_height, mb_width, 16, 16)
+                 .transpose(0, 2, 1, 3)
+                 .reshape(mb_height * 16, mb_width * 16))
+    mv_y, mv_x, cost16, pred16, aux = me.motion_search_dense(
+        cur_plane, src_y_mb, ref_y_pad, ref4_pad, base_y, base_x, qp0,
+        mb_height, mb_width, mb_row_offset, enable_subpel=enable_qpel,
+        prev_my=prev_my, prev_mx=prev_mx)
 
-        # partition shapes: per-4x4-block MV grid; shape 0=16x16,
-        # 1=16x8, 2=8x16, 3=8x8 (reference partition proposal+search,
-        # `src/h264-lab.h:5224-5256`, `:5423-5498`)
-        mv4_y = jnp.broadcast_to(mv_y[:, None, None], (nmb, 4, 4))
-        mv4_x = jnp.broadcast_to(mv_x[:, None, None], (nmb, 4, 4))
-        shape = jnp.zeros((nmb,), jnp.int32)
-        inter_cost = cost16
-        pred_y_inter = pred16
-        if enable_partitions and enable_qpel:
-            ps = me.partition_search(src_y_mb, aux, qp0)
-            c168 = ps["cost16x8"] + lam * PART_16X8_PENALTY_BITS
-            c816 = ps["cost8x16"] + lam * PART_16X8_PENALTY_BITS
-            c88 = ps["cost8x8"] + lam * PART_8X8_PENALTY_BITS
-            costs = jnp.stack([cost16, c168, c816, c88], axis=1)
-            shape = jnp.argmin(costs, axis=1).astype(jnp.int32)
-            inter_cost = jnp.min(costs, axis=1)
+    # partition shapes: per-4x4-block MV grid; shape 0=16x16,
+    # 1=16x8, 2=8x16, 3=8x8 (reference partition proposal+search,
+    # `src/h264-lab.h:5224-5256`, `:5423-5498`)
+    mv4_y = jnp.broadcast_to(mv_y[:, None, None], (nmb, 4, 4))
+    mv4_x = jnp.broadcast_to(mv_x[:, None, None], (nmb, 4, 4))
+    shape = jnp.zeros((nmb,), jnp.int32)
+    inter_cost = cost16
+    pred_y_inter = pred16
+    if enable_partitions and enable_qpel:
+        ps = me.partition_search(src_y_mb, aux, qp0)
+        c168 = ps["cost16x8"] + lam * PART_16X8_PENALTY_BITS
+        c816 = ps["cost8x16"] + lam * PART_16X8_PENALTY_BITS
+        c88 = ps["cost8x8"] + lam * PART_8X8_PENALTY_BITS
+        costs = jnp.stack([cost16, c168, c816, c88], axis=1)
+        shape = jnp.argmin(costs, axis=1).astype(jnp.int32)
+        inter_cost = jnp.min(costs, axis=1)
 
-            half = jnp.asarray([0, 0, 1, 1])
-            mv168_y = jnp.broadcast_to(
-                ps["mv16x8"][:, half, 0][:, :, None], (nmb, 4, 4))
-            mv168_x = jnp.broadcast_to(
-                ps["mv16x8"][:, half, 1][:, :, None], (nmb, 4, 4))
-            mv816_y = jnp.broadcast_to(
-                ps["mv8x16"][:, half, 0][:, None, :], (nmb, 4, 4))
-            mv816_x = jnp.broadcast_to(
-                ps["mv8x16"][:, half, 1][:, None, :], (nmb, 4, 4))
-            quad = jnp.asarray([[0, 0, 1, 1], [0, 0, 1, 1],
-                                [2, 2, 3, 3], [2, 2, 3, 3]])
-            mv88_y = ps["mv8x8"][:, quad, 0]
-            mv88_x = ps["mv8x8"][:, quad, 1]
-            sh = shape[:, None, None]
-            mv4_y = jnp.where(sh == 1, mv168_y,
-                              jnp.where(sh == 2, mv816_y,
-                                        jnp.where(sh == 3, mv88_y, mv4_y)))
-            mv4_x = jnp.where(sh == 1, mv168_x,
-                              jnp.where(sh == 2, mv816_x,
-                                        jnp.where(sh == 3, mv88_x, mv4_x)))
-            pred_y_inter = jnp.where(
-                sh == 1, ps["pred16x8"],
-                jnp.where(sh == 2, ps["pred8x16"],
-                          jnp.where(sh == 3, ps["pred8x8"], pred16)))
-            pred_y_inter = pred_y_inter.astype(jnp.uint8)
+        half = jnp.asarray([0, 0, 1, 1])
+        mv168_y = jnp.broadcast_to(
+            ps["mv16x8"][:, half, 0][:, :, None], (nmb, 4, 4))
+        mv168_x = jnp.broadcast_to(
+            ps["mv16x8"][:, half, 1][:, :, None], (nmb, 4, 4))
+        mv816_y = jnp.broadcast_to(
+            ps["mv8x16"][:, half, 0][:, None, :], (nmb, 4, 4))
+        mv816_x = jnp.broadcast_to(
+            ps["mv8x16"][:, half, 1][:, None, :], (nmb, 4, 4))
+        quad = jnp.asarray([[0, 0, 1, 1], [0, 0, 1, 1],
+                            [2, 2, 3, 3], [2, 2, 3, 3]])
+        mv88_y = ps["mv8x8"][:, quad, 0]
+        mv88_x = ps["mv8x8"][:, quad, 1]
+        sh = shape[:, None, None]
+        mv4_y = jnp.where(sh == 1, mv168_y,
+                          jnp.where(sh == 2, mv816_y,
+                                    jnp.where(sh == 3, mv88_y, mv4_y)))
+        mv4_x = jnp.where(sh == 1, mv168_x,
+                          jnp.where(sh == 2, mv816_x,
+                                    jnp.where(sh == 3, mv88_x, mv4_x)))
+        pred_y_inter = jnp.where(
+            sh == 1, ps["pred16x8"],
+            jnp.where(sh == 2, ps["pred8x16"],
+                      jnp.where(sh == 3, ps["pred8x8"], pred16)))
+        pred_y_inter = pred_y_inter.astype(jnp.uint8)
 
-        cb_y = qpel.GUARD // 2 + 8 * (rr + mb_row_offset)
-        cb_x = qpel.GUARD // 2 + 8 * cc
-        if enable_partitions and enable_qpel:
-            # per-4x4-block MVs: the general (gather-based) chroma MC
-            pred_u_inter = qpel.mc_chroma_grid(ref_u_pad, mv4_y, mv4_x,
-                                               cb_y, cb_x)
-            pred_v_inter = qpel.mc_chroma_grid(ref_v_pad, mv4_y, mv4_x,
-                                               cb_y, cb_x)
-        else:
-            # uniform per-MB MV: windowed gather-free chroma MC
-            pred_u_inter, pred_v_inter = qpel.mc_chroma_uniform(
-                ref_u_pad, ref_v_pad, cb_y, cb_x,
-                aux["full_my"], aux["full_mx"], mv_y, mv_x)
-        lev_inter, recon_y_inter = _encode_inter_luma(
-            src_y_mb, pred_y_inter, tq_qp)
-        # u and v batched through one chroma TQ
-        cdc_uv, cac_uv, recon_uv = _encode_chroma(
-            jnp.concatenate([src_u_mb, src_v_mb]),
-            jnp.concatenate([pred_u_inter, pred_v_inter]),
-            tq_qpc2, INTER_DEADZONE_Q8)
-        cdc_inter = jnp.stack([cdc_uv[:nmb], cdc_uv[nmb:]], axis=1)
-        cac_inter = jnp.stack([cac_uv[:nmb], cac_uv[nmb:]], axis=1)
-        recon_u_inter = recon_uv[:nmb]
-        recon_v_inter = recon_uv[nmb:]
+    cb_y = qpel.GUARD // 2 + 8 * (rr + mb_row_offset)
+    cb_x = qpel.GUARD // 2 + 8 * cc
+    if enable_partitions and enable_qpel:
+        # per-4x4-block MVs: the general (gather-based) chroma MC
+        pred_u_inter = qpel.mc_chroma_grid(ref_u_pad, mv4_y, mv4_x,
+                                           cb_y, cb_x)
+        pred_v_inter = qpel.mc_chroma_grid(ref_v_pad, mv4_y, mv4_x,
+                                           cb_y, cb_x)
     else:
-        mv_y = jnp.zeros((nmb,), jnp.int32)
-        mv_x = jnp.zeros((nmb,), jnp.int32)
-        mv4_y = jnp.zeros((nmb, 4, 4), jnp.int32)
-        mv4_x = jnp.zeros((nmb, 4, 4), jnp.int32)
-        shape = jnp.zeros((nmb,), jnp.int32)
-        inter_cost = jnp.full((nmb,), 1 << 30, jnp.int32)
-        lev_inter = jnp.zeros((nmb, 4, 4, 4, 4), jnp.int32)
-        recon_y_inter = jnp.zeros((nmb, 16, 16), jnp.uint8)
-        recon_u_inter = jnp.zeros((nmb, 8, 8), jnp.uint8)
-        recon_v_inter = jnp.zeros((nmb, 8, 8), jnp.uint8)
-        cdc_inter = jnp.zeros((nmb, 2, 2, 2), jnp.int32)
-        cac_inter = jnp.zeros((nmb, 2, 2, 2, 4, 4), jnp.int32)
+        # uniform per-MB MV: windowed gather-free chroma MC
+        pred_u_inter, pred_v_inter = qpel.mc_chroma_uniform(
+            ref_u_pad, ref_v_pad, cb_y, cb_x,
+            aux["full_my"], aux["full_mx"], mv_y, mv_x)
+    lev_inter, recon_y_inter = _encode_inter_luma(
+        src_y_mb, pred_y_inter, tq_qp)
+    # u and v batched through one chroma TQ
+    cdc_uv, cac_uv, recon_uv = _encode_chroma(
+        jnp.concatenate([src_u_mb, src_v_mb]),
+        jnp.concatenate([pred_u_inter, pred_v_inter]),
+        tq_qpc2, INTER_DEADZONE_Q8)
+    cdc_inter = jnp.stack([cdc_uv[:nmb], cdc_uv[nmb:]], axis=1)
+    cac_inter = jnp.stack([cac_uv[:nmb], cac_uv[nmb:]], axis=1)
+    recon_u_inter = recon_uv[:nmb]
+    recon_v_inter = recon_uv[nmb:]
+    return dict(mv_y=mv_y, mv_x=mv_x, mv4_y=mv4_y, mv4_x=mv4_x,
+                shape=shape, inter_cost=inter_cost, lev_inter=lev_inter,
+                recon_y_inter=recon_y_inter, recon_u_inter=recon_u_inter,
+                recon_v_inter=recon_v_inter,
+                cdc_inter=cdc_inter, cac_inter=cac_inter)
 
-    # ---------------- stage 2: MB selection + intra encode ---------------
+
+def _inter_dummies(nmb: int) -> dict:
+    """Zero stage-1 outputs for intra frames/slices."""
+    return dict(
+        mv_y=jnp.zeros((nmb,), jnp.int32),
+        mv_x=jnp.zeros((nmb,), jnp.int32),
+        mv4_y=jnp.zeros((nmb, 4, 4), jnp.int32),
+        mv4_x=jnp.zeros((nmb, 4, 4), jnp.int32),
+        shape=jnp.zeros((nmb,), jnp.int32),
+        inter_cost=jnp.full((nmb,), 1 << 30, jnp.int32),
+        lev_inter=jnp.zeros((nmb, 4, 4, 4, 4), jnp.int32),
+        recon_y_inter=jnp.zeros((nmb, 16, 16), jnp.uint8),
+        recon_u_inter=jnp.zeros((nmb, 8, 8), jnp.uint8),
+        recon_v_inter=jnp.zeros((nmb, 8, 8), jnp.uint8),
+        cdc_inter=jnp.zeros((nmb, 2, 2, 2), jnp.int32),
+        cac_inter=jnp.zeros((nmb, 2, 2, 2, 4, 4), jnp.int32))
+
+
+def select_stage_core(src_y_mb, src_u_mb, src_v_mb, qp, qpc,
+                      steps, avail_top, avail_left, inter,
+                      mb_width: int, mb_height: int,
+                      has_inter: bool, enable_i4x4: bool):
+    """Stage 2: macroblock mode selection + intra encode — either the
+    fully-parallel P path or the anti-diagonal wavefront scan (the
+    re-design of the reference's `mb_encode` decision cascade,
+    `src/h264-lab.h:5724-5812`). `inter` is stage 1's output dict (or
+    None for intra frames). Returns the selection, all quantized levels,
+    the unfiltered reconstruction, and the (intra-zeroed) MV fields."""
+    nmb = mb_width * mb_height
+    qp0, tq_qp, _, tq_qpc2, _ = _qp_views(qp, qpc, mb_width)
+    lam = me.lambda_me(qp0)
+    if inter is None:
+        inter = _inter_dummies(nmb)
+    inter_cost = inter["inter_cost"]
+    recon_y_inter = inter["recon_y_inter"]
+    recon_u_inter = inter["recon_u_inter"]
+    recon_v_inter = inter["recon_v_inter"]
+    cdc_inter = inter["cdc_inter"]
+    cac_inter = inter["cac_inter"]
+    mv_y, mv_x = inter["mv_y"], inter["mv_x"]
+    mv4_y, mv4_x = inter["mv4_y"], inter["mv4_x"]
+    shape = inter["shape"]
+    lev_inter = inter["lev_inter"]
+
     if has_inter and not enable_i4x4:
         # Fully parallel P path — no wavefront. Intra prediction must read
         # the decoder's reconstruction of the left/top neighbours; an
@@ -375,40 +401,115 @@ def encode_frame_core(src_y_mb, src_u_mb, src_v_mb,
     # materialize the mode-decision outputs before they fan out into
     # symbolization AND deblocking: both consume the same select chains,
     # and XLA would otherwise clone the whole upstream pipeline into
-    # each consumer fusion (see the barrier note in ops/me.py)
+    # each consumer fusion (see the barrier note in ops/me.py). Staged
+    # dispatch makes this a no-op (the jit boundary is the barrier); the
+    # single-program composition (encode_frame_core) still needs it.
     (sel, recon_y, recon_u, recon_v, cdc_lev, cac_lev, lev_inter,
      dc_lev, ac_lev, mv_y, mv_x, mv4_y, mv4_x, shape) = \
         jax.lax.optimization_barrier(
             (sel, recon_y, recon_u, recon_v, cdc_lev, cac_lev, lev_inter,
              dc_lev, ac_lev, mv_y, mv_x, mv4_y, mv4_x, shape))
+    return dict(sel=sel, mode16=mode16, cmode=cmode, dc_lev=dc_lev,
+                ac_lev=ac_lev, cdc_lev=cdc_lev, cac_lev=cac_lev,
+                lev_inter=lev_inter, i4modes=i4modes,
+                i4sym_v=i4sym_v, i4sym_l=i4sym_l,
+                recon_y=recon_y, recon_u=recon_u, recon_v=recon_v,
+                mv_y=mv_y, mv_x=mv_x, mv4_y=mv4_y, mv4_x=mv4_x,
+                shape=shape)
+
+
+def deblock_stage_core(recon_y, recon_u, recon_v, sel, lev_inter,
+                       mv4_y, mv4_x, qp, qpc,
+                       avail_top, avail_left,
+                       mb_width: int, mb_height: int):
+    """Stage 4: in-loop deblocking. `qp`/`qpc` are scalars (uniform
+    slice QP) or per-MB (nmb,) *decoded* QPs (the running QP from the
+    dQP chain — per-row fine RC)."""
+    nnz_inter_blk = jnp.sum(lev_inter != 0, axis=(-2, -1)).astype(jnp.int32)
+    return deblock_frame(
+        recon_y, recon_u, recon_v, sel, nnz_inter_blk, mv4_y, mv4_x,
+        qp, qpc, avail_top, avail_left, mb_width, mb_height)
+
+
+def encode_frame_core(src_y_mb, src_u_mb, src_v_mb,
+                      ref_y_pad, ref_u_pad, ref_v_pad, ref4_pad,
+                      qp, qpc, steps, avail_top, avail_left,
+                      mb_width: int, mb_height: int,
+                      has_inter: bool, enable_i4x4: bool,
+                      enable_deblock: bool = False,
+                      enable_partitions: bool = False,
+                      enable_qpel: bool = True,
+                      svc_base_mode_bit: bool = False,
+                      mb_row_offset=0,
+                      prev_my=None, prev_mx=None):
+    """Encode one frame or slice band as ONE composed program (the
+    staged pipeline fused back together — see encoder/gop for the
+    staged dispatch that compiles each stage separately). For I frames
+    pass dummy ref planes and has_inter=False (they are ignored).
+    `mb_row_offset` places a band within the full-frame reference planes
+    (multi-slice encoding): all entropy/prediction contexts stay
+    band-local (slices are independent), but motion compensation reads
+    the full reference picture.
+
+    `qp`/`qpc` may be scalars (uniform slice QP) or per-MB-row
+    (mb_height,) arrays — MB-granular fine rate control via
+    `mb_qp_delta` (reference `rc_mb_end`, `src/h264-lab.h:6146-6179`).
+    Per-row QP is supported on the fully-parallel P path (has_inter and
+    not enable_i4x4): QP only enters quantization, the dQP syntax and
+    the deblocking thresholds, so the row plan adds no wavefront
+    dependency."""
+    per_row_qp = jnp.ndim(qp) == 1
+    if per_row_qp and not (has_inter and not enable_i4x4):
+        raise NotImplementedError(
+            "per-row QP requires the fully-parallel P path "
+            "(encode_speed >= 2)")
+    if has_inter:
+        inter = inter_stage_core(
+            src_y_mb, src_u_mb, src_v_mb,
+            ref_y_pad, ref_u_pad, ref_v_pad, ref4_pad,
+            qp, qpc, mb_row_offset, prev_my, prev_mx,
+            mb_width=mb_width, mb_height=mb_height,
+            enable_partitions=enable_partitions, enable_qpel=enable_qpel)
+    else:
+        inter = None
+    st = select_stage_core(
+        src_y_mb, src_u_mb, src_v_mb, qp, qpc,
+        steps, avail_top, avail_left, inter,
+        mb_width=mb_width, mb_height=mb_height,
+        has_inter=has_inter, enable_i4x4=enable_i4x4)
 
     # ---------------- stage 3: symbolization -----------------------------
     # (before deblocking: with per-row QP the filter must use the
     # *decoded* running QP that symbolization derives from the dQP chain)
-    out = symbolize(sel, mode16, cmode, i4modes, i4sym_v, i4sym_l,
-                    mv4_y, mv4_x, shape, dc_lev, ac_lev, lev_inter,
-                    cdc_lev, cac_lev, mb_width, mb_height, has_inter,
+    out = symbolize(st["sel"], st["mode16"], st["cmode"], st["i4modes"],
+                    st["i4sym_v"], st["i4sym_l"],
+                    st["mv4_y"], st["mv4_x"], st["shape"], st["dc_lev"],
+                    st["ac_lev"], st["lev_inter"],
+                    st["cdc_lev"], st["cac_lev"],
+                    mb_width, mb_height, has_inter,
                     svc_base_mode_bit=svc_base_mode_bit,
                     qp_rows=qp if per_row_qp else None)
 
     # ---------------- stage 4: deblocking --------------------------------
     if enable_deblock:
-        nnz_inter_blk = jnp.sum(lev_inter != 0, axis=(-2, -1)) \
-            .astype(jnp.int32)
         if per_row_qp:
             qp_db = out["qp_dec"]
             qpc_db = jnp.asarray(tables.QPC_FROM_QPY)[qp_db]
         else:
             qp_db, qpc_db = qp, qpc
-        df_y, df_u, df_v = deblock_frame(
-            recon_y, recon_u, recon_v, sel, nnz_inter_blk, mv4_y, mv4_x,
-            qp_db, qpc_db, avail_top, avail_left, mb_width, mb_height)
+        df_y, df_u, df_v = deblock_stage_core(
+            st["recon_y"], st["recon_u"], st["recon_v"], st["sel"],
+            st["lev_inter"], st["mv4_y"], st["mv4_x"], qp_db, qpc_db,
+            avail_top, avail_left, mb_width, mb_height)
     else:
-        df_y, df_u, df_v = recon_y, recon_u, recon_v
-    out.update(dict(recon_y=recon_y, recon_u=recon_u, recon_v=recon_v,
+        df_y, df_u, df_v = st["recon_y"], st["recon_u"], st["recon_v"]
+    out.update(dict(recon_y=st["recon_y"], recon_u=st["recon_u"],
+                    recon_v=st["recon_v"],
                     df_y=df_y, df_u=df_u, df_v=df_v,
-                    mv_y=mv_y, mv_x=mv_x, mv4_y=mv4_y, mv4_x=mv4_x,
-                    shape=shape, sel=sel, i4modes=i4modes))
+                    mv_y=st["mv_y"], mv_x=st["mv_x"],
+                    mv4_y=st["mv4_y"], mv4_x=st["mv4_x"],
+                    shape=st["shape"], sel=st["sel"],
+                    i4modes=st["i4modes"]))
     return out
 
 
@@ -1194,6 +1295,196 @@ encode_frame = jax.jit(
     static_argnames=("mb_width", "mb_height", "has_inter", "enable_i4x4",
                      "enable_deblock", "enable_partitions", "enable_qpel",
                      "svc_base_mode_bit"))
+
+
+# ---------------------------------------------------------------------------
+# staged dispatch: each stage is its own jitted program (see the staging
+# note at inter_stage_core). This is the production path — XLA compile
+# time is superlinear in program size and the per-flag-combination
+# monolith variants multiplied it; the staged programs compile
+# additively and are shared across IDR/P/speed/capacity variants.
+# ---------------------------------------------------------------------------
+
+inter_stage = jax.jit(
+    inter_stage_core,
+    static_argnames=("mb_width", "mb_height", "enable_partitions",
+                     "enable_qpel"))
+
+select_stage = jax.jit(
+    select_stage_core,
+    static_argnames=("mb_width", "mb_height", "has_inter", "enable_i4x4"))
+
+symbolize_stage = jax.jit(
+    symbolize,
+    static_argnames=("mb_width", "mb_height", "has_inter",
+                     "svc_base_mode_bit"))
+
+deblock_stage = jax.jit(
+    deblock_stage_core, static_argnames=("mb_width", "mb_height"))
+
+
+def encode_frame_staged(src_y_mb, src_u_mb, src_v_mb,
+                        ref_y_pad, ref_u_pad, ref_v_pad, ref4_pad,
+                        qp, qpc, steps, avail_top, avail_left,
+                        mb_width: int, mb_height: int,
+                        has_inter: bool, enable_i4x4: bool,
+                        enable_deblock: bool = False,
+                        enable_partitions: bool = False,
+                        enable_qpel: bool = True,
+                        svc_base_mode_bit: bool = False,
+                        mb_row_offset=0,
+                        prev_my=None, prev_mx=None):
+    """Same contract as encode_frame_core, dispatched as 3-4 separately
+    compiled stage programs (single frame / single band)."""
+    per_row_qp = jnp.ndim(qp) == 1
+    if per_row_qp and not (has_inter and not enable_i4x4):
+        raise NotImplementedError(
+            "per-row QP requires the fully-parallel P path "
+            "(encode_speed >= 2)")
+    if has_inter:
+        inter = inter_stage(
+            src_y_mb, src_u_mb, src_v_mb,
+            ref_y_pad, ref_u_pad, ref_v_pad, ref4_pad,
+            qp, qpc, mb_row_offset, prev_my, prev_mx,
+            mb_width=mb_width, mb_height=mb_height,
+            enable_partitions=enable_partitions, enable_qpel=enable_qpel)
+    else:
+        inter = None
+    st = select_stage(
+        src_y_mb, src_u_mb, src_v_mb, qp, qpc,
+        steps, avail_top, avail_left, inter,
+        mb_width=mb_width, mb_height=mb_height,
+        has_inter=has_inter, enable_i4x4=enable_i4x4)
+    out = symbolize_stage(
+        st["sel"], st["mode16"], st["cmode"], st["i4modes"],
+        st["i4sym_v"], st["i4sym_l"], st["mv4_y"], st["mv4_x"],
+        st["shape"], st["dc_lev"], st["ac_lev"], st["lev_inter"],
+        st["cdc_lev"], st["cac_lev"], mb_width, mb_height, has_inter,
+        svc_base_mode_bit=svc_base_mode_bit,
+        qp_rows=qp if per_row_qp else None)
+    out = dict(out)
+    if enable_deblock:
+        if per_row_qp:
+            qp_db = out["qp_dec"]
+            qpc_db = jnp.asarray(tables.QPC_FROM_QPY)[qp_db]
+        else:
+            qp_db, qpc_db = qp, qpc
+        df_y, df_u, df_v = deblock_stage(
+            st["recon_y"], st["recon_u"], st["recon_v"], st["sel"],
+            st["lev_inter"], st["mv4_y"], st["mv4_x"], qp_db, qpc_db,
+            avail_top, avail_left, mb_width=mb_width, mb_height=mb_height)
+    else:
+        df_y, df_u, df_v = st["recon_y"], st["recon_u"], st["recon_v"]
+    out.update(dict(recon_y=st["recon_y"], recon_u=st["recon_u"],
+                    recon_v=st["recon_v"],
+                    df_y=df_y, df_u=df_u, df_v=df_v,
+                    mv_y=st["mv_y"], mv_x=st["mv_x"],
+                    mv4_y=st["mv4_y"], mv4_x=st["mv4_x"],
+                    shape=st["shape"], sel=st["sel"],
+                    i4modes=st["i4modes"]))
+    return out
+
+
+@functools.lru_cache(maxsize=64)
+def _banded_stage_fns(mb_width: int, band_rows: int, has_inter: bool,
+                      enable_i4x4: bool, enable_partitions: bool,
+                      enable_qpel: bool, svc_base_mode_bit: bool):
+    """Per-config jitted, band-vmapped stage functions (B equal slice
+    bands in one dispatch; the TPU-native form of the reference's
+    slice-thread fan-out `src/h264-lab.h:6511-6574`). Reference planes
+    are shared across bands (MVs may cross band borders)."""
+    f_inter = functools.partial(
+        inter_stage_core, mb_width=mb_width, mb_height=band_rows,
+        enable_partitions=enable_partitions, enable_qpel=enable_qpel)
+    f_select = functools.partial(
+        select_stage_core, mb_width=mb_width, mb_height=band_rows,
+        has_inter=has_inter, enable_i4x4=enable_i4x4)
+    f_sym = functools.partial(
+        symbolize, mb_width=mb_width, mb_height=band_rows,
+        has_inter=has_inter, svc_base_mode_bit=svc_base_mode_bit)
+    f_dbl = functools.partial(
+        deblock_stage_core, mb_width=mb_width, mb_height=band_rows)
+
+    @jax.jit
+    def inter_fn(sy, su, sv, ry, ru, rv, r4, qp_b, qpc_b, row0s, pmy, pmx):
+        return jax.vmap(
+            lambda a, b, c, q, qc, r0, my, mx:
+                f_inter(a, b, c, ry, ru, rv, r4, q, qc, r0, my, mx)
+        )(sy, su, sv, qp_b, qpc_b, row0s, pmy, pmx)
+
+    @jax.jit
+    def select_fn(sy, su, sv, qp_b, qpc_b, steps, a_top, a_left, inter):
+        return jax.vmap(
+            lambda a, b, c, q, qc, it:
+                f_select(a, b, c, q, qc, steps, a_top, a_left, it)
+        )(sy, su, sv, qp_b, qpc_b, inter)
+
+    @jax.jit
+    def sym_fn(st):
+        return jax.vmap(
+            lambda s: f_sym(s["sel"], s["mode16"], s["cmode"],
+                            s["i4modes"], s["i4sym_v"], s["i4sym_l"],
+                            s["mv4_y"], s["mv4_x"], s["shape"],
+                            s["dc_lev"], s["ac_lev"], s["lev_inter"],
+                            s["cdc_lev"], s["cac_lev"])
+        )(st)
+
+    @jax.jit
+    def deblock_fn(st, qp_b, qpc_b, a_top, a_left):
+        return jax.vmap(
+            lambda s, q, qc: f_dbl(s["recon_y"], s["recon_u"], s["recon_v"],
+                                   s["sel"], s["lev_inter"],
+                                   s["mv4_y"], s["mv4_x"], q, qc,
+                                   a_top, a_left)
+        )(st, qp_b, qpc_b)
+
+    return inter_fn, select_fn, sym_fn, deblock_fn
+
+
+def encode_frame_banded_staged(src_y, src_u, src_v,
+                               ref_y_pad, ref_u_pad, ref_v_pad, ref4_pad,
+                               qp, qpc, steps, avail_top, avail_left, row0s,
+                               mb_width: int, band_rows: int,
+                               has_inter: bool, enable_i4x4: bool,
+                               enable_deblock: bool = False,
+                               enable_partitions: bool = False,
+                               enable_qpel: bool = True,
+                               svc_base_mode_bit: bool = False,
+                               prev_my=None, prev_mx=None):
+    """Staged-dispatch equivalent of encode_frame_banded_core: B bands
+    per dispatch, each stage its own compiled program."""
+    n_bands = src_y.shape[0]
+    nmb_b = band_rows * mb_width
+    inter_fn, select_fn, sym_fn, deblock_fn = _banded_stage_fns(
+        mb_width, band_rows, has_inter, enable_i4x4,
+        enable_partitions, enable_qpel, svc_base_mode_bit)
+    qp_b = jnp.broadcast_to(jnp.asarray(qp, jnp.int32), (n_bands,))
+    qpc_b = jnp.broadcast_to(jnp.asarray(qpc, jnp.int32), (n_bands,))
+    if has_inter:
+        if prev_my is None:
+            prev_my = jnp.zeros((n_bands, nmb_b), jnp.int32)
+            prev_mx = jnp.zeros((n_bands, nmb_b), jnp.int32)
+        inter = inter_fn(src_y, src_u, src_v,
+                         ref_y_pad, ref_u_pad, ref_v_pad, ref4_pad,
+                         qp_b, qpc_b, row0s, prev_my, prev_mx)
+    else:
+        inter = None
+    st = select_fn(src_y, src_u, src_v, qp_b, qpc_b,
+                   steps, avail_top, avail_left, inter)
+    out = dict(sym_fn(st))
+    if enable_deblock:
+        df_y, df_u, df_v = deblock_fn(st, qp_b, qpc_b,
+                                      avail_top, avail_left)
+    else:
+        df_y, df_u, df_v = st["recon_y"], st["recon_u"], st["recon_v"]
+    out.update(dict(recon_y=st["recon_y"], recon_u=st["recon_u"],
+                    recon_v=st["recon_v"],
+                    df_y=df_y, df_u=df_u, df_v=df_v,
+                    mv_y=st["mv_y"], mv_x=st["mv_x"],
+                    mv4_y=st["mv4_y"], mv4_x=st["mv4_x"],
+                    shape=st["shape"], sel=st["sel"],
+                    i4modes=st["i4modes"]))
+    return out
 
 
 def encode_frame_banded_core(src_y, src_u, src_v,
