@@ -239,6 +239,112 @@ def pred_from_windows(wins, dyq: int, dxq: int, center: int,
     return table[(fx, fy)]()
 
 
+def _phase_planes(wins):
+    """All 16 quarter-pel phase planes from the (F, B, H, J) half-pel
+    planes, stacked as (k, 4, 4, S, S) with stack[fy, fx][y, x] = the
+    quarter-pel sample at (4y + fy, 4x + fx) relative to the planes'
+    common full-pel origin (spec Figure 8-4 averaging rules).
+
+    This makes a dense qpel sweep loop-able: position (dyq, dxq) is one
+    dynamic_slice at (dyq & 3, dxq & 3, base + (dyq >> 2), ...), so the
+    49-position sweep compiles as ONE `fori_loop` body instead of 49
+    unrolled blocks — XLA compile time on the hot encode path was gated
+    by exactly this kind of unrolling (round-4 postmortem)."""
+    wf, wb, wh, wj = wins
+    k, sy, sx = wf.shape
+    pad = lambda w: jnp.pad(w, ((0, 0), (0, 1), (0, 1)), mode="edge")
+    f, b, h, j = pad(wf), pad(wb), pad(wh), pad(wj)
+
+    def avg(p, q):
+        return (p + q + 1) >> 1
+
+    def S(w, ey=0, ex=0):
+        return w[:, ey:ey + sy, ex:ex + sx]
+
+    rows = []
+    for fy in range(4):
+        row = []
+        for fx in range(4):
+            # same table as pred_from_windows, full-plane form
+            tab = {
+                (0, 0): lambda: S(f),
+                (1, 0): lambda: avg(S(f), S(b)),
+                (2, 0): lambda: S(b),
+                (3, 0): lambda: avg(S(b), S(f, 0, 1)),
+                (0, 1): lambda: avg(S(f), S(h)),
+                (1, 1): lambda: avg(S(b), S(h)),
+                (2, 1): lambda: avg(S(b), S(j)),
+                (3, 1): lambda: avg(S(b), S(h, 0, 1)),
+                (0, 2): lambda: S(h),
+                (1, 2): lambda: avg(S(h), S(j)),
+                (2, 2): lambda: S(j),
+                (3, 2): lambda: avg(S(j), S(h, 0, 1)),
+                (0, 3): lambda: avg(S(h), S(f, 1, 0)),
+                (1, 3): lambda: avg(S(h), S(b, 1, 0)),
+                (2, 3): lambda: avg(S(j), S(b, 1, 0)),
+                (3, 3): lambda: avg(S(h, 0, 1), S(b, 1, 0)),
+            }
+            row.append(tab[(fx, fy)]())
+        rows.append(jnp.stack(row, axis=1))
+    return jnp.stack(rows, axis=1)          # (k, fy, fx, S, S)
+
+
+def _sweep_fullpel(cur_i, win, base_y: int, base_x: int, radius: int,
+                   cost_fn):
+    """Dense (2r+1)^2 full-pel SAD sweep over per-MB windows as a
+    `fori_loop`: win (k, S, S) int32, block at (base_y+dy, base_x+dx).
+    cost_fn(sad, dy, dx) -> cost. Returns (cost, dy, dx) best per MB."""
+    k = cur_i.shape[0]
+    bh, bw = cur_i.shape[1], cur_i.shape[2]
+    side = 2 * radius + 1
+
+    def body(i, st):
+        best, bdy, bdx = st
+        dy = i // side - radius
+        dx = i % side - radius
+        blk = jax.lax.dynamic_slice(
+            win, (0, base_y + dy, base_x + dx), (k, bh, bw))
+        sad = jnp.sum(jnp.abs(cur_i - blk), axis=(1, 2))
+        cost = cost_fn(sad, dy, dx)
+        upd = cost < best
+        return (jnp.where(upd, cost, best),
+                jnp.where(upd, dy, bdy), jnp.where(upd, dx, bdx))
+
+    init = (jnp.full((k,), 1 << 30, jnp.int32),
+            jnp.zeros((k,), jnp.int32), jnp.zeros((k,), jnp.int32))
+    return jax.lax.fori_loop(0, side * side, body, init)
+
+
+def _sweep_qpel(cur_i, phases, center: int, cost_fn, radius: int = 3):
+    """Dense (2r+1)^2 quarter-pel sweep over the phase-plane stack as a
+    `fori_loop`. phases: (k, 4, 4, S, S); the full-pel winner sits at
+    plane coord `center`. cost_fn(sad, dyq, dxq) -> cost.
+    Returns (cost, dyq, dxq, pred) best per MB."""
+    k, _, _, _, _ = phases.shape
+    bh, bw = cur_i.shape[1], cur_i.shape[2]
+    side = 2 * radius + 1
+
+    def body(i, st):
+        best, byq, bxq, bpred = st
+        dyq = i // side - radius
+        dxq = i % side - radius
+        pred = jax.lax.dynamic_slice(
+            phases, (0, dyq & 3, dxq & 3,
+                     center + (dyq >> 2), center + (dxq >> 2)),
+            (k, 1, 1, bh, bw))[:, 0, 0]
+        sad = jnp.sum(jnp.abs(cur_i - pred), axis=(1, 2))
+        cost = cost_fn(sad, dyq, dxq)
+        upd = cost < best
+        return (jnp.where(upd, cost, best),
+                jnp.where(upd, dyq, byq), jnp.where(upd, dxq, bxq),
+                jnp.where(upd[:, None, None], pred, bpred))
+
+    init = (jnp.full((k,), 1 << 30, jnp.int32),
+            jnp.zeros((k,), jnp.int32), jnp.zeros((k,), jnp.int32),
+            jnp.zeros((k, bh, bw), jnp.int32))
+    return jax.lax.fori_loop(0, side * side, body, init)
+
+
 MAX_CAND_FP = qpel.GUARD - WIN_M - 3   # full-pel candidate-centre clip
 
 
@@ -300,22 +406,13 @@ def motion_search_dense(cur_plane, cur_tiles, ref_pad, ref4_pad,
         win = _slice_windows(ref_pad, base_y + cm_y - WIN_M,
                              base_x + cm_x - WIN_M,
                              WIN_S, WIN_S).astype(jnp.int32)
-        c_cost = jnp.full((nmb,), 1 << 30, jnp.int32)
-        c_dy = jnp.zeros((nmb,), jnp.int32)
-        c_dx = jnp.zeros((nmb,), jnp.int32)
-        for dy in range(-REFINE_R, REFINE_R + 1):
-            for dx in range(-REFINE_R, REFINE_R + 1):
-                blk = win[:, WIN_M + dy:WIN_M + dy + 16,
-                          WIN_M + dx:WIN_M + dx + 16]
-                sad = jnp.sum(jnp.abs(cur_i - blk), axis=(1, 2))
-                myq = (cm_y + dy) * 4
-                mxq = (cm_x + dx) * 4
-                cost = sad + lam * (mv_bits(myq - mvp_y)
-                                    + mv_bits(mxq - mvp_x))
-                upd = cost < c_cost
-                c_cost = jnp.where(upd, cost, c_cost)
-                c_dy = jnp.where(upd, dy, c_dy)
-                c_dx = jnp.where(upd, dx, c_dx)
+
+        def refine_cost(sad, dy, dx, cm_y=cm_y, cm_x=cm_x):
+            return sad + lam * (mv_bits((cm_y + dy) * 4 - mvp_y)
+                                + mv_bits((cm_x + dx) * 4 - mvp_x))
+
+        c_cost, c_dy, c_dx = _sweep_fullpel(cur_i, win, WIN_M, WIN_M,
+                                            REFINE_R, refine_cost)
         # re-centre this candidate's window on its refined winner:
         # A_c[p] = win[winner - 5 + p]
         A_c = _shift_select(win, c_dy, -REFINE_R, REFINE_R,
@@ -348,27 +445,21 @@ def motion_search_dense(cur_plane, cur_tiles, ref_pad, ref4_pad,
     aux["wins"] = wins
 
     skip_thr = SKIP_THR_BASE + qp.astype(jnp.int32) * SKIP_THR_QP
-    best_cost = jnp.full((nmb,), 1 << 30, jnp.int32)
-    best_yq = jnp.zeros((nmb,), jnp.int32)
-    best_xq = jnp.zeros((nmb,), jnp.int32)
-    best_pred = jnp.zeros((nmb, 16, 16), jnp.int32)
-    for dyq in range(-3, 4):
-        for dxq in range(-3, 4):
-            pred = pred_from_windows(wins, dyq, dxq, center=3)
-            sad = jnp.sum(jnp.abs(cur_i - pred), axis=(1, 2))
-            mvy = full_my * 4 + dyq
-            mvx = full_mx * 4 + dxq
-            cost = sad + lam * (mv_bits(mvy - mvp_y) + mv_bits(mvx - mvp_x))
-            # early-skip bias: the position that would extend a skip run
-            # (mv == predictor) gets a bits bonus when its SAD clears the
-            # skip threshold (ops/tuning.py; ref `src/h264-lab.h:5306`)
-            at_pred = (mvy == mvp_y) & (mvx == mvp_x) & (sad < skip_thr)
-            cost = jnp.where(at_pred, cost - lam * SKIP_BIAS_BITS, cost)
-            upd = cost < best_cost
-            best_cost = jnp.where(upd, cost, best_cost)
-            best_yq = jnp.where(upd, mvy, best_yq)
-            best_xq = jnp.where(upd, mvx, best_xq)
-            best_pred = jnp.where(upd[:, None, None], pred, best_pred)
+
+    def qpel_cost(sad, dyq, dxq):
+        mvy = full_my * 4 + dyq
+        mvx = full_mx * 4 + dxq
+        cost = sad + lam * (mv_bits(mvy - mvp_y) + mv_bits(mvx - mvp_x))
+        # early-skip bias: the position that would extend a skip run
+        # (mv == predictor) gets a bits bonus when its SAD clears the
+        # skip threshold (ops/tuning.py; ref `src/h264-lab.h:5306`)
+        at_pred = (mvy == mvp_y) & (mvx == mvp_x) & (sad < skip_thr)
+        return jnp.where(at_pred, cost - lam * SKIP_BIAS_BITS, cost)
+
+    best_cost, dyq, dxq, best_pred = _sweep_qpel(
+        cur_i, _phase_planes(wins), 3, qpel_cost)
+    best_yq = full_my * 4 + dyq
+    best_xq = full_mx * 4 + dxq
     best_yq, best_xq, best_cost, best_pred = jax.lax.optimization_barrier(
         (best_yq, best_xq, best_cost, best_pred))
     return best_yq, best_xq, best_cost, best_pred.astype(jnp.uint8), aux
@@ -393,22 +484,14 @@ def _search_geometry(cur_tiles, wins, lam, offsets, bh: int, bw: int,
     for oy0, ox0 in offsets:
         cur_i = cur_tiles[:, oy0:oy0 + bh, ox0:ox0 + bw].astype(jnp.int32)
         curs.append(cur_i)
+
         # stage A: full-pel +-2 around the 16x16 winner
-        best = jnp.full((k,), 1 << 30, jnp.int32)
-        bdy = jnp.zeros((k,), jnp.int32)
-        bdx = jnp.zeros((k,), jnp.int32)
-        F = wins[0]
-        for dy in range(-2, 3):
-            for dx in range(-2, 3):
-                blk = F[:, 3 + oy0 + dy:3 + oy0 + dy + bh,
-                        3 + ox0 + dx:3 + ox0 + dx + bw]
-                c = jnp.sum(jnp.abs(cur_i - blk), axis=(1, 2)) \
-                    + lam * (mv_bits((full_my + dy) * 4 - mvp_y)
-                             + mv_bits((full_mx + dx) * 4 - mvp_x))
-                upd = c < best
-                best = jnp.where(upd, c, best)
-                bdy = jnp.where(upd, dy, bdy)
-                bdx = jnp.where(upd, dx, bdx)
+        def part_cost(sad, dy, dx):
+            return sad + lam * (mv_bits((full_my + dy) * 4 - mvp_y)
+                                + mv_bits((full_mx + dx) * 4 - mvp_x))
+
+        best, bdy, bdx = _sweep_fullpel(cur_i, wins[0], 3 + oy0, 3 + ox0,
+                                        2, part_cost)
         blk_my.append(full_my + bdy)
         blk_mx.append(full_mx + bdx)
         # re-centre (bh+2, bw+2) block windows on the block winner
@@ -424,22 +507,14 @@ def _search_geometry(cur_tiles, wins, lam, offsets, bh: int, bw: int,
     mvpy = jnp.concatenate([mvp_y] * nb)
     mvpx = jnp.concatenate([mvp_x] * nb)
 
-    best_cost = jnp.full((nb * k,), 1 << 30, jnp.int32)
-    best_yq = jnp.zeros((nb * k,), jnp.int32)
-    best_xq = jnp.zeros((nb * k,), jnp.int32)
-    best_pred = jnp.zeros((nb * k, bh, bw), jnp.int32)
-    for dyq in range(-3, 4):
-        for dxq in range(-3, 4):
-            pred = pred_from_windows(sub, dyq, dxq, center=1, bh=bh, bw=bw)
-            sad = jnp.sum(jnp.abs(cur_b - pred), axis=(1, 2))
-            mvy = bmy * 4 + dyq
-            mvx = bmx * 4 + dxq
-            cost = sad + lam * (mv_bits(mvy - mvpy) + mv_bits(mvx - mvpx))
-            upd = cost < best_cost
-            best_cost = jnp.where(upd, cost, best_cost)
-            best_yq = jnp.where(upd, mvy, best_yq)
-            best_xq = jnp.where(upd, mvx, best_xq)
-            best_pred = jnp.where(upd[:, None, None], pred, best_pred)
+    def qcost(sad, dyq, dxq):
+        return sad + lam * (mv_bits(bmy * 4 + dyq - mvpy)
+                            + mv_bits(bmx * 4 + dxq - mvpx))
+
+    best_cost, dyq, dxq, best_pred = _sweep_qpel(
+        cur_b, _phase_planes(sub), 1, qcost)
+    best_yq = bmy * 4 + dyq
+    best_xq = bmx * 4 + dxq
     best_yq, best_xq, best_cost, best_pred = jax.lax.optimization_barrier(
         (best_yq, best_xq, best_cost, best_pred))
     return (best_cost.reshape(nb, k), best_yq.reshape(nb, k),
