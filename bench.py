@@ -58,7 +58,7 @@ REF_FPS_IPPP = 4.64        # C reference, gop=20, this host, 1 thread
 
 def main():
     start = time.time()
-    n_src = WARMUP + STEPS
+    n_src = WARMUP + 1 + STEPS
     frames = list(chessboard_sequence(WIDTH, HEIGHT, n_src))
     # lane g encodes GOP g of the source stream: its step-t input is
     # frame g*GOP + t; the fixture loops if the clip is shorter
@@ -69,22 +69,26 @@ def main():
     enc = GopBandEncoder(cfg, n_gop=LANES)
     run = RunConfig(qp_min=QP, qp_max=QP, encode_speed=SPEED)
 
-    # warmup: compiles the IDR and P pipelines and exercises finish_step
-    for t in range(WARMUP):
+    # warmup: compiles the IDR and P pipelines, exercises finish_step,
+    # and settles `p_cap_words` at the measured-bits bucket (overflow
+    # re-packs during warmup; the timed loop then never repacks).
+    # One extra untimed steady-state step so the timed region measures
+    # pipelined throughput only — no compile, no first-step skew.
+    for t in range(WARMUP + 1):
         enc.encode_step(lane_inputs(t), run)
 
     total_bytes = 0
     done = 0
     t0 = time.time()
     pending = None
-    for t in range(WARMUP, WARMUP + STEPS):
+    for t in range(WARMUP + 1, WARMUP + 1 + STEPS):
         nxt = enc.encode_step_async(lane_inputs(t), run)
         if pending is not None:
             total_bytes += sum(len(r.payload)
                                for r in enc.finish_step(pending))
             done += 1
         pending = nxt
-        if time.time() - start > DEADLINE and done >= 2:
+        if time.time() - start > DEADLINE and done >= 4:
             break
     if pending is not None:
         total_bytes += sum(len(r.payload) for r in enc.finish_step(pending))

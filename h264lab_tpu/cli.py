@@ -15,7 +15,7 @@ import time
 
 import numpy as np
 
-from h264lab_tpu.config import EncoderConfig, RunConfig
+from h264lab_tpu.config import EncoderConfig, FrameType, RunConfig
 from h264lab_tpu.models.encoder import H264Encoder
 from h264lab_tpu.utils.yuv import YuvReader, guess_size_from_name
 from h264lab_tpu.utils.synthetic import chessboard_sequence
@@ -46,7 +46,44 @@ def build_parser():
     p.add_argument("--psnr", action="store_true")
     p.add_argument("--threads", type=int, default=1,
                    help="slice bands per frame (chip-parallel)")
+    p.add_argument("--temporal-layers", type=int, default=0, metavar="L",
+                   help="dyadic temporal scalability over a 2^L-frame "
+                        "period via long-term references (the reference "
+                        "driver's schedule, src/minih264e_test.c:606-638); "
+                        "top-layer frames are droppable")
     return p
+
+
+class DyadicSchedule:
+    """The reference driver's dyadic temporal-scalability schedule
+    (`src/minih264e_test.c:606-638`), generalized over logmod L:
+    frame i belongs to the highest layer `level` whose period bit is set;
+    lower layers anchor in long-term slots, the top layer is droppable.
+
+    Returns per frame: (frame_type, long_term_idx_use,
+    long_term_idx_update)."""
+
+    def __init__(self, logmod: int):
+        self.logmod = logmod
+        self.mod = 1 << logmod
+        self.fresh = [-1] * (logmod + 2)
+
+    def step(self, i: int):
+        logmod = self.logmod
+        level = logmod
+        while level and (~i & (self.mod >> level)):
+            level -= 1
+        lt_update = level + 1
+        if level == logmod and logmod > 0:
+            lt_update = -1                    # top layer: droppable
+        if level == logmod - 1 and logmod > 1:
+            lt_update = 0                     # next layer: short-term only
+        lt_use = self.fresh[level]
+        for j in range(level, logmod + 1):
+            self.fresh[j] = lt_update
+        if i == 0:
+            lt_use = -1                       # first frame: IDR
+        return FrameType.CUSTOM, lt_use, lt_update
 
 
 def main(argv=None) -> int:
@@ -72,6 +109,8 @@ def main(argv=None) -> int:
         vbv_size_bytes=100000 // 8 if args.kbps else 0,
         temporal_denoise_flag=args.denoise,
         slice_bands=max(args.threads, 1),
+        max_long_term_reference_frames=(
+            max(1, args.temporal_layers) if args.temporal_layers else 0),
     )
     enc = H264Encoder(cfg)
     acc = PsnrAccumulator() if args.psnr else None
@@ -79,6 +118,8 @@ def main(argv=None) -> int:
     out = open(args.output, "wb")
     n = 0
     t0 = time.time()
+    schedule = (DyadicSchedule(args.temporal_layers)
+                if args.temporal_layers else None)
     for (y, u, v) in frames:
         if n >= args.maxframes:
             break
@@ -88,6 +129,9 @@ def main(argv=None) -> int:
             run.qp_min, run.qp_max = 10, 50
         else:
             run.qp_min = run.qp_max = cfg.qp
+        if schedule is not None:
+            (run.frame_type, run.long_term_idx_use,
+             run.long_term_idx_update) = schedule.step(n)
         res = enc.encode(y, u, v, run, return_recon=args.psnr)
         out.write(res.payload)
         if args.stats:

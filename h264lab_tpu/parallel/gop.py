@@ -32,7 +32,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from h264lab_tpu.bitstream import BitWriter, headers
 from h264lab_tpu.bitstream.nal import annexb_nal
-from h264lab_tpu.config import EncoderConfig, RunConfig
+from h264lab_tpu.config import EncoderConfig, FrameType, RunConfig
 from h264lab_tpu.models import mbscan, refstate, wavefront
 from h264lab_tpu.models.encoder import PIC_INIT_QP, FrameResult
 from h264lab_tpu.ops import bitpack, tables
@@ -221,7 +221,13 @@ class _PendingStep:
     frame_num: int
     return_recon: bool
     transparent: list = None     # per-lane: emit an all-skip frame
-    old_refs: object = None      # pre-step refs (transparent-lane recon)
+    old_refs: object = None      # the ref predicted from (transparent recon)
+    is_intra: bool = False       # I or IDR
+    ft_name: str = "P"
+    lt_use: int = 0              # long-term policy for the slice headers
+    lt_update: int = 0
+    hdr_st_used: bool = False    # pre-marking DPB flags
+    hdr_lt_in_use: bool = False
 
 
 class GopBandEncoder:
@@ -257,11 +263,6 @@ class GopBandEncoder:
         # feature parity with H264Encoder is explicit: configs the
         # GOP-parallel path does not implement are rejected, not
         # silently downgraded
-        if cfg.max_long_term_reference_frames > 0:
-            raise ValueError(
-                "GopBandEncoder does not support long-term references "
-                "(lanes are closed GOPs with one short-term reference); "
-                "use H264Encoder for LTR frame-type policies")
         if cfg.temporal_denoise_flag:
             raise ValueError(
                 "GopBandEncoder does not support temporal denoising; "
@@ -295,12 +296,20 @@ class GopBandEncoder:
         self._prev_mv = None
         self.rc = [RateControl(cfg.n_mb, cfg.gop, cfg.vbv_size_bytes, cfg.qp)
                    for _ in range(n_gop)]
-        self._refs = None
+        # reference slots, lane-batched: 0 = short-term, 1..N = long-term
+        # slot k holds LongTermFrameIdx k-1 on every lane (the lanes share
+        # one frame-type schedule; policy `src/h264-lab.h:6726-6754`)
+        self._refs = {}
+        self._gop_pos = 0
+        self._most_recent_idx = 0
+        self._short_term_used = False
+        self._lt_used = [False] * cfg.max_long_term_reference_frames
         self._force_transparent = [False] * n_gop
         self._sps = headers.SpsParams(
             width=cfg.width, height=cfg.height,
             mb_width=cfg.mb_width, mb_height=cfg.mb_height,
-            sps_id=cfg.sps_id, num_ref_frames=1,
+            sps_id=cfg.sps_id,
+            num_ref_frames=1 + cfg.max_long_term_reference_frames,
             vbv_size_bytes=cfg.vbv_size_bytes)
         self._band_plan = {}
 
@@ -337,9 +346,44 @@ class GopBandEncoder:
         run = run or RunConfig(qp_min=cfg.qp, qp_max=cfg.qp)
         G, B = self.n_gop, self.n_bands
         assert len(frames) == G
-        is_idr = (self.step_idx == 0 or
-                  (cfg.gop and self.step_idx % cfg.gop == 0))
-        has_inter = not is_idr and self._refs is not None
+
+        # frame-type -> long-term-slot policy, shared by all lanes
+        # (reference `src/h264-lab.h:6726-6754`; same rules as
+        # H264Encoder.encode_async)
+        n_lt = cfg.max_long_term_reference_frames
+        ftype = run.frame_type
+        if ftype == FrameType.DEFAULT:
+            if self.step_idx == 0 or not self._refs:
+                ftype = FrameType.KEY
+            elif cfg.gop and self._gop_pos >= cfg.gop:
+                ftype = FrameType.KEY
+            else:
+                ftype = FrameType.P
+        if ftype == FrameType.I:
+            lt_use, lt_update = -1, 0
+        elif ftype == FrameType.KEY:
+            lt_use, lt_update = -1, (1 if n_lt > 0 else 0)
+        elif ftype == FrameType.GOLDEN:
+            lt_use, lt_update = 1, 1
+        elif ftype == FrameType.RECOVERY:
+            lt_use, lt_update = 1, 0
+        elif ftype == FrameType.DROPPABLE:
+            lt_use, lt_update = self._most_recent_idx, -1
+        elif ftype == FrameType.CUSTOM:
+            lt_use = run.long_term_idx_use or self._most_recent_idx
+            lt_update = run.long_term_idx_update
+            if lt_use < 0:
+                ftype = FrameType.KEY
+                lt_update = 1 if n_lt > 0 else 0
+        else:  # P
+            lt_use, lt_update = self._most_recent_idx, 0
+        if ftype not in (FrameType.KEY, FrameType.I) \
+                and self._refs.get(max(lt_use, 0)) is None:
+            ftype = FrameType.KEY
+            lt_use, lt_update = -1, (1 if n_lt > 0 else 0)
+        is_idr = ftype == FrameType.KEY
+        is_intra = ftype in (FrameType.KEY, FrameType.I)
+        has_inter = not is_intra
 
         # VBV overflow policy per lane (reference `src/h264-lab.h:6497`):
         # the lane's frame is replaced by an all-skip "transparent" frame
@@ -393,13 +437,15 @@ class GopBandEncoder:
             np.arange(B, dtype=np.int32) * self.band_rows)
 
         nmb_b = self.band_rows * mbw
-        if has_inter and self._prev_mv is not None:
+        # previous-frame MV candidate: only valid when predicting from
+        # the short-term chain (mirrors H264Encoder)
+        if has_inter and lt_use == 0 and self._prev_mv is not None:
             pmy, pmx = self._prev_mv
         else:
             pmy = pmx = self._shard(
                 jnp.zeros((G, B, nmb_b), jnp.int32), P("gop", "band"))
-        args = (src_y, src_u, src_v,
-                self._refs if has_inter else None,
+        ref_used = self._refs.get(max(lt_use, 0)) if has_inter else None
+        args = (src_y, src_u, src_v, ref_used,
                 self._shard(qp_arr, P("gop")), self._shard(qpc_arr, P("gop")),
                 pmy, pmx,
                 steps, a_top, a_left, row0s)
@@ -408,20 +454,37 @@ class GopBandEncoder:
                       enable_deblock=enable_deblock,
                       enable_partitions=enable_partitions,
                       enable_qpel=enable_qpel)
-        cap = self.idr_cap_words if is_idr else self.p_cap_words
+        cap = self.idr_cap_words if is_intra else self.p_cap_words
         out, new_refs = _gop_banded_staged(*args, cap_words=cap, **kwargs)
-        old_refs = self._refs
-        if any(transparent) and old_refs is not None:
-            # transparent lanes keep their previous reference picture
-            mask = jnp.asarray(np.asarray(transparent))
-            self._refs = jax.tree_util.tree_map(
-                lambda old, new: jnp.where(
-                    mask.reshape((G,) + (1,) * (new.ndim - 1)), old, new),
-                old_refs, new_refs)
-        else:
-            self._refs = new_refs
 
+        # pre-marking DPB flags go into the slice headers (finish_step)
+        hdr_st_used = self._short_term_used
+        hdr_lt_in_use = (self._lt_used[lt_update - 1]
+                         if lt_update > 0 else False)
+
+        # DPB update (lane-batched slots)
         if is_idr:
+            self._refs = {}
+            self._short_term_used = False
+            self._lt_used = [False] * n_lt
+        if lt_update >= 0:
+            old_slot = self._refs.get(lt_update)
+            if any(transparent) and old_slot is not None:
+                # transparent lanes keep the slot's previous picture
+                mask = jnp.asarray(np.asarray(transparent))
+                new_refs = jax.tree_util.tree_map(
+                    lambda old, new: jnp.where(
+                        mask.reshape((G,) + (1,) * (new.ndim - 1)),
+                        old, new),
+                    old_slot, new_refs)
+            self._refs[lt_update] = new_refs
+            self._most_recent_idx = lt_update
+            if lt_update == 0:
+                self._short_term_used = True
+            else:
+                self._lt_used[lt_update - 1] = True
+
+        if is_intra or lt_use != 0:
             self._prev_mv = None
         else:
             new_prev = (out["pmv_y"], out["pmv_x"])
@@ -436,13 +499,19 @@ class GopBandEncoder:
                 self._prev_mv = new_prev
 
         self.step_idx += 1
+        self._gop_pos = 1 if is_idr else self._gop_pos + 1
         fn_use = 0 if is_idr else self.frame_num
         self.frame_num = (fn_use + 1) % (1 << headers.FRAME_NUM_BITS)
+        ft_name = "IDR" if is_idr else ("I" if is_intra else "P")
         return _PendingStep(out=out, qps=qps, band_qps=band_qps,
                             is_idr=is_idr, run=run,
                             n_bands=B, frame_num=fn_use,
                             return_recon=return_recon,
-                            transparent=transparent, old_refs=old_refs)
+                            transparent=transparent, old_refs=ref_used,
+                            is_intra=is_intra, ft_name=ft_name,
+                            lt_use=lt_use, lt_update=lt_update,
+                            hdr_st_used=hdr_st_used,
+                            hdr_lt_in_use=hdr_lt_in_use)
 
     def finish_step(self, p: _PendingStep):
         """Pack a dispatched step into per-lane Annex-B bytes."""
@@ -455,7 +524,7 @@ class GopBandEncoder:
         # worst-case bucket): re-PACK the kept symbol arrays at a larger
         # bucket — a small standalone program, no re-encode (rare;
         # buffers and transfers stay sized for the typical frame)
-        while (not p.is_idr
+        while (not p.is_intra
                and int(nbits.max(initial=0)) > 32 * self.p_cap_words):
             if self.p_cap_words >= self.max_cap_words:
                 raise RuntimeError("packed stream exceeds spec bound")
@@ -487,7 +556,7 @@ class GopBandEncoder:
                 for b in range(B):
                     bw = BitWriter(capacity=1 << 16)
                     shp = headers.SliceHeaderParams(
-                        slice_type=(headers.SLICE_TYPE_I if p.is_idr
+                        slice_type=(headers.SLICE_TYPE_I if p.is_intra
                                     else headers.SLICE_TYPE_P),
                         is_idr=p.is_idr,
                         frame_num=frame_num,
@@ -499,8 +568,13 @@ class GopBandEncoder:
                         slice_qp=p.band_qps[g][b],
                         pic_init_qp=PIC_INIT_QP,
                         disable_deblocking_filter_idc=deblock_idc,
-                        long_term_idx_update=0,
-                        max_long_term_frames=0)
+                        long_term_idx_use=(max(p.lt_use, 0)
+                                           if not p.is_intra else 0),
+                        long_term_idx_update=p.lt_update,
+                        short_term_used=p.hdr_st_used,
+                        lt_slot_in_use=p.hdr_lt_in_use,
+                        max_long_term_frames=
+                            cfg.max_long_term_reference_frames)
                     headers.write_slice_header_rbsp(bw, shp)
                     mb_bits = int(nbits[g, b])
                     bw.append_bits_bytes(
@@ -514,7 +588,7 @@ class GopBandEncoder:
                     payload += nal
                     band_bytes.append(len(nal))
             actions = self.rc[g].frame_end(
-                p.is_idr, len(payload), p.run.desired_frame_bytes,
+                p.is_intra, len(payload), p.run.desired_frame_bytes,
                 band_bytes=band_bytes or None)
             if (actions["stuffing_bytes"]
                     and cfg.vbv_underflow_stuffing_flag):
@@ -545,7 +619,7 @@ class GopBandEncoder:
                          ru[:cfg.height // 2, :cfg.width // 2],
                          rv[:cfg.height // 2, :cfg.width // 2])
             results.append(FrameResult(
-                payload=payload, frame_type="IDR" if p.is_idr else "P",
+                payload=payload, frame_type=p.ft_name,
                 qp=p.qps[g], recon=recon))
         return results
 
@@ -564,7 +638,7 @@ class GopBandEncoder:
             pic_init_qp=PIC_INIT_QP,
             disable_deblocking_filter_idc=1,
             long_term_idx_update=0,
-            max_long_term_frames=0)
+            max_long_term_frames=cfg.max_long_term_reference_frames)
         headers.write_slice_header_rbsp(bw, shp)
         bw.ue(cfg.n_mb)          # mb_skip_run covering the whole picture
         bw.rbsp_trailing_bits()

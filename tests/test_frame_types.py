@@ -109,3 +109,25 @@ def test_dyadic_temporal_schedule(codec):
     for i, f in enumerate(frames):
         np.testing.assert_array_equal(f.cropped(dec.sps)[0], recons[i][0],
                                       err_msg=f"frame {i}")
+
+
+def test_cli_dyadic_schedule_sequence():
+    """The CLI --temporal-layers schedule reproduces the reference
+    driver's dyadic long-term-index sequence (src/minih264e_test.c:
+    606-638) without touching the encoder (pure schedule logic)."""
+    from h264lab_tpu.cli import DyadicSchedule
+
+    sched = DyadicSchedule(1)
+    got = [sched.step(i) for i in range(6)]
+    # frame 0: IDR (use -1), stored to LTR slot 1; odd frames droppable
+    # (update -1) predicting from slot 1; even frames refresh slot 1
+    assert [g[1:] for g in got] == [
+        (-1, 1), (1, -1), (1, 1), (1, -1), (1, 1), (1, -1)]
+    assert all(g[0] == FrameType.CUSTOM for g in got)
+
+    sched = DyadicSchedule(2)
+    got = [sched.step(i)[1:] for i in range(8)]
+    # 4-frame period: level0 -> slot1, level1 -> short-term (0),
+    # level2 (odd frames) -> droppable
+    assert got == [(-1, 1), (1, -1), (1, 0), (0, -1),
+                   (1, 1), (1, -1), (1, 0), (0, -1)]

@@ -118,3 +118,53 @@ def test_gop_encoder_vbv_transparent_and_decode():
         got = df.cropped(dec.sps)
         for pd, pe in zip(got, recons[0][t]):
             assert np.array_equal(np.asarray(pd), np.asarray(pe)), t
+
+
+def test_ltr_frame_types_on_gop_path():
+    """Golden/recovery/droppable long-term-reference streams from the
+    GOP-parallel encoder (reference policy `src/h264-lab.h:6734-6754`):
+    lanes stay byte-identical, the stream equals the sequential
+    encoder's for the same schedule, and the independent decoder
+    reproduces the encoder reconstruction bit-exactly."""
+    import numpy as np
+    from h264lab_tpu.config import EncoderConfig, RunConfig, FrameType
+    from h264lab_tpu.models.encoder import H264Encoder
+    from h264lab_tpu.parallel.gop import GopBandEncoder
+    from h264lab_tpu.decoder.decoder import H264Decoder
+    from h264lab_tpu.utils.synthetic import chessboard_sequence
+
+    W, H, QP = 64, 48, 31
+    types = [FrameType.KEY, FrameType.P, FrameType.GOLDEN,
+             FrameType.DROPPABLE, FrameType.RECOVERY, FrameType.P]
+    cfg = EncoderConfig(width=W, height=H, gop=0, qp=QP,
+                        max_long_term_reference_frames=2)
+    frames = list(chessboard_sequence(W, H, len(types)))
+
+    seq = H264Encoder(cfg)
+    seq_stream = b""
+    for ft, f in zip(types, frames):
+        run = RunConfig(frame_type=ft, qp_min=QP, qp_max=QP,
+                        encode_speed=2)
+        seq_stream += seq.encode(*f, run).payload
+
+    enc = GopBandEncoder(cfg, n_gop=2)
+    streams = [b""] * 2
+    recons = []
+    for ft, f in zip(types, frames):
+        run = RunConfig(frame_type=ft, qp_min=QP, qp_max=QP,
+                        encode_speed=2)
+        rs = enc.encode_step([f] * 2, run, return_recon=True)
+        for g, r in enumerate(rs):
+            streams[g] += r.payload
+        recons.append(rs[0].recon)
+
+    assert streams[0] == streams[1]
+    assert streams[0] == seq_stream
+    dec = H264Decoder()
+    dfs = dec.decode(streams[0])
+    assert len(dfs) == len(types)
+    for t, df in enumerate(dfs):
+        got = df.cropped(dec.sps)
+        for pd, pe in zip(got, recons[t]):
+            np.testing.assert_array_equal(np.asarray(pd), np.asarray(pe),
+                                          err_msg=f"frame {t}")
