@@ -157,26 +157,30 @@ def encode_blocks(levels: jnp.ndarray, nc: jnp.ndarray, max_coeff):
     t1_sign_len = t1
 
     # ---- levels (non-trailing-ones), reverse scan order -------------------
+    # The adaptive suffix length is the one sequential element of CAVLC;
+    # it runs as a 16-step `lax.scan` vectorized over all blocks (a scan,
+    # not an unrolled loop: the unrolled form cost ~16x the XLA compile
+    # time for identical output).
     suffix_len0 = jnp.where((total > 10) & (t1 < 3), 1, 0).astype(jnp.int32)
-    lev_vals = []
-    lev_lens = []
-    sl = suffix_len0
-    for k in range(16):
-        is_lvl = (k_valid[:, k]) & (k >= t1)
-        l = lev[:, k]
+
+    def lev_step(sl, xt):
+        l, kv, kk = xt
+        is_lvl = kv & (kk >= t1)
         abs_l = jnp.abs(l)
         lc = 2 * (abs_l - 1) + (l < 0).astype(jnp.int32)
-        first = k == t1  # first coded level
-        lc = jnp.where(first & (t1 < 3), lc - 2, lc)
+        lc = jnp.where((kk == t1) & (t1 < 3), lc - 2, lc)
         val, nbits = _level_code_bits(jnp.maximum(lc, 0), sl)
-        lev_vals.append(jnp.where(is_lvl, val, 0))
-        lev_lens.append(jnp.where(is_lvl, nbits, 0))
         # suffixLength adaptation (spec 9.2.2.1)
         sl_next = jnp.where(sl == 0, 1, sl)
         thresh = jnp.int32(3) << jnp.maximum(sl_next - 1, 0)
         sl_next = jnp.where(abs_l > thresh, sl_next + 1, sl_next)
         sl_next = jnp.minimum(sl_next, 6)
         sl = jnp.where(is_lvl, sl_next, sl)
+        return sl, (jnp.where(is_lvl, val, 0), jnp.where(is_lvl, nbits, 0))
+
+    _, (lv_v, lv_l) = jax.lax.scan(
+        lev_step, suffix_len0,
+        (lev.T, k_valid.T, jnp.arange(16, dtype=jnp.int32)))
 
     # ---- total_zeros ------------------------------------------------------
     highest_pos = pos[:, 0]                       # scan index of last nonzero
@@ -192,22 +196,21 @@ def encode_blocks(levels: jnp.ndarray, nc: jnp.ndarray, max_coeff):
     tz_len = jnp.where(has_tz, tz_len, 0)
 
     # ---- run_before -------------------------------------------------------
-    # zerosLeft before coding coeff k = pos[k] - (total-1-k)
-    rb_vals = []
-    rb_lens = []
-    for k in range(15):
-        zeros_left = pos[:, k] - (total - 1 - k)
-        run = pos[:, k] - pos[:, k + 1] - 1
-        need = (k < total - 1) & (zeros_left > 0) & (total > 0)
-        zl = jnp.clip(zeros_left, 0, 7)
-        runc = jnp.clip(run, 0, 14)
-        v = _RB_VAL[zl, runc].astype(jnp.uint32)
-        ln = _RB_LEN[zl, runc]
-        rb_vals.append(jnp.where(need, v, 0))
-        rb_lens.append(jnp.where(need, ln, 0))
+    # zerosLeft before coding coeff k = pos[k] - (total-1-k); batched
+    # over all 15 k positions at once (no per-k unrolling)
+    ks = jnp.arange(15, dtype=jnp.int32)[None, :]
+    zeros_left = pos[:, :15] - (total[:, None] - 1 - ks)
+    run = pos[:, :15] - pos[:, 1:16] - 1
+    need = (ks < total[:, None] - 1) & (zeros_left > 0) & (total[:, None] > 0)
+    zl = jnp.clip(zeros_left, 0, 7)
+    runc = jnp.clip(run, 0, 14)
+    rb_vals = jnp.where(need, _RB_VAL[zl, runc].astype(jnp.uint32), 0)
+    rb_lens = jnp.where(need, _RB_LEN[zl, runc], 0)
 
-    vals = jnp.stack(
-        [ct_val, t1_sign_val] + lev_vals + [tz_val] + rb_vals, axis=1)
-    lens = jnp.stack(
-        [ct_len, t1_sign_len] + lev_lens + [tz_len] + rb_lens, axis=1)
+    vals = jnp.concatenate(
+        [ct_val[:, None], t1_sign_val[:, None], lv_v.T, tz_val[:, None],
+         rb_vals], axis=1)
+    lens = jnp.concatenate(
+        [ct_len[:, None], t1_sign_len[:, None], lv_l.T, tz_len[:, None],
+         rb_lens], axis=1)
     return vals.astype(jnp.uint32), lens.astype(jnp.int32), total

@@ -203,93 +203,100 @@ def encode_i4x4_mb(src_mb, top_row, left_col, tl_px, tr4_px,
     canvas = canvas.at[:, 1:17, 0].set(left_col.astype(jnp.int32))
     canvas = canvas.at[:, 0, 0].set(tl_px.astype(jnp.int32))
 
-    modes = jnp.full((k, 16), 2, jnp.int32)
-    levels = jnp.zeros((k, 4, 4, 4, 4), jnp.int32)
-    cost = jnp.zeros((k,), jnp.int32)
-    sym_val = jnp.zeros((k, 16), jnp.uint32)
-    sym_len = jnp.zeros((k, 16), jnp.int32)
+    # The 16 blocks run as ONE `lax.scan` body over b = 0..15 in raster
+    # order — a topological order of the same left/top/top-right
+    # dependencies as the coded-order GROUPS schedule (which the
+    # availability masks still encode), producing identical values while
+    # compiling the predict+TQ body once instead of 16 times. All
+    # block-dependent indexing is table-driven dynamic slicing.
+    ones = jnp.ones((k,), bool)
+    bs = np.arange(16, dtype=np.int32)
+    bis, bjs = bs // 4, bs % 4
+    no_tr = np.isin(bs, list(NO_TOPRIGHT))
+    xs = (jnp.asarray(bs), jnp.asarray(bis), jnp.asarray(bjs),
+          jnp.asarray(no_tr))
 
-    for group in GROUPS:
-        for b in group:
-            bi, bj = divmod(b, 4)
-            t4 = canvas[:, 4 * bi, 1 + 4 * bj:5 + 4 * bj]
-            l4 = canvas[:, 1 + 4 * bi:5 + 4 * bi, 4 * bj]
-            tlp = canvas[:, 4 * bi, 4 * bj]
-            # top-right: 4 samples right of the top edge
-            tr_raw = canvas[:, 4 * bi, 5 + 4 * bj:9 + 4 * bj]
+    def step(carry, xt):
+        canvas, modes, cost = carry
+        b, bi, bj, b_no_tr = xt
+        y0 = 4 * bi
+        x0 = 4 * bj
+        t4 = jax.lax.dynamic_slice(canvas, (0, y0, x0 + 1), (k, 1, 4))[:, 0]
+        l4 = jax.lax.dynamic_slice(canvas, (0, y0 + 1, x0), (k, 4, 1))[:, :, 0]
+        tlp = jax.lax.dynamic_slice(canvas, (0, y0, x0), (k, 1, 1))[:, 0, 0]
+        # top-right: 4 samples right of the top edge
+        tr_raw = jax.lax.dynamic_slice(canvas, (0, y0, x0 + 5), (k, 1, 4))[:, 0]
 
-            a_top = avail_top if bi == 0 else jnp.ones((k,), bool)
-            a_left = avail_left if bj == 0 else jnp.ones((k,), bool)
-            if bi == 0 and bj == 0:
-                a_tl = avail_tl
-            elif bi == 0:
-                a_tl = avail_top
-            elif bj == 0:
-                a_tl = avail_left
-            else:
-                a_tl = jnp.ones((k,), bool)
-            # top-right usability (spec availability in decode order)
-            if b in NO_TOPRIGHT:
-                tr_ok = jnp.zeros((k,), bool)
-            elif bi == 0 and bj == 3:
-                tr_ok = avail_tr
-            elif bi == 0:
-                tr_ok = avail_top
-            else:
-                tr_ok = jnp.ones((k,), bool)
-            t3rep = t4[:, 3:4]
-            tr4 = jnp.where(tr_ok[:, None], tr_raw,
-                            jnp.broadcast_to(t3rep, tr_raw.shape))
+        a_top = (bi > 0) | avail_top
+        a_left = (bj > 0) | avail_left
+        a_tl = jnp.where(
+            (bi > 0) & (bj > 0), ones,
+            jnp.where((bi == 0) & (bj == 0), avail_tl,
+                      jnp.where(bi == 0, avail_top, avail_left)))
+        # top-right usability (spec availability in decode order)
+        tr_ok = (~b_no_tr) & jnp.where(
+            bi > 0, ones, jnp.where(bj == 3, avail_tr, avail_top))
+        t3rep = t4[:, 3:4]
+        tr4 = jnp.where(tr_ok[:, None], tr_raw,
+                        jnp.broadcast_to(t3rep, tr_raw.shape))
 
-            preds, valid = predict4(t4, l4, tlp, tr4, a_top, a_left, a_tl)
+        preds, valid = predict4(t4, l4, tlp, tr4, a_top, a_left, a_tl)
 
-            # predicted mode from neighbour block modes (spec 8.3.1.1)
-            if bj == 0:
-                mode_a = left_modes[:, bi]
-                avail_a = avail_left
-            else:
-                mode_a = modes[:, b - 1]
-                avail_a = jnp.ones((k,), bool)
-            if bi == 0:
-                mode_b = top_modes[:, bj]
-                avail_b = avail_top
-            else:
-                mode_b = modes[:, b - 4]
-                avail_b = jnp.ones((k,), bool)
-            # spec 8.3.1.1: an UNAVAILABLE neighbour block forces DC
-            # prediction (dcPredModePredictedFlag); an available neighbour
-            # in a non-Intra4x4 MB contributes DC (2) into the min (the
-            # edge-mode arrays already carry 2 for those MBs).
-            pred_mode = jnp.where(avail_a & avail_b,
-                                  jnp.minimum(mode_a, mode_b), 2)
+        # predicted mode from neighbour block modes (spec 8.3.1.1)
+        left_of = jax.lax.dynamic_slice(
+            modes, (0, jnp.maximum(b - 1, 0)), (k, 1))[:, 0]
+        top_of = jax.lax.dynamic_slice(
+            modes, (0, jnp.maximum(b - 4, 0)), (k, 1))[:, 0]
+        from_lm = jax.lax.dynamic_slice(
+            left_modes, (0, bi), (k, 1))[:, 0]
+        from_tm = jax.lax.dynamic_slice(
+            top_modes, (0, bj), (k, 1))[:, 0]
+        mode_a = jnp.where(bj == 0, from_lm, left_of)
+        mode_b = jnp.where(bi == 0, from_tm, top_of)
+        avail_a = (bj > 0) | avail_left
+        avail_b = (bi > 0) | avail_top
+        # spec 8.3.1.1: an UNAVAILABLE neighbour block forces DC
+        # prediction (dcPredModePredictedFlag); an available neighbour
+        # in a non-Intra4x4 MB contributes DC (2) into the min (the
+        # edge-mode arrays already carry 2 for those MBs).
+        pred_mode = jnp.where(avail_a & avail_b,
+                              jnp.minimum(mode_a, mode_b), 2)
 
-            src_blk = src[:, 4 * bi:4 * bi + 4, 4 * bj:4 * bj + 4]
-            sad = jnp.sum(jnp.abs(src_blk[:, None] - preds), axis=(2, 3))
-            bits = jnp.where(jnp.arange(N_MODES)[None, :] == pred_mode[:, None],
-                             1, 4)
-            c = jnp.where(valid, sad + lam * bits, jnp.int32(1 << 30))
-            m = jnp.argmin(c, axis=1).astype(jnp.int32)
-            best = jnp.take_along_axis(
-                preds, m[:, None, None, None], axis=1)[:, 0]
-            cost = cost + jnp.min(c, axis=1)
-            modes = modes.at[:, b].set(m)
+        src_blk = jax.lax.dynamic_slice(src, (0, y0, x0), (k, 4, 4))
+        sad = jnp.sum(jnp.abs(src_blk[:, None] - preds), axis=(2, 3))
+        bits = jnp.where(jnp.arange(N_MODES)[None, :] == pred_mode[:, None],
+                         1, 4)
+        c = jnp.where(valid, sad + lam * bits, jnp.int32(1 << 30))
+        m = jnp.argmin(c, axis=1).astype(jnp.int32)
+        best = jnp.take_along_axis(
+            preds, m[:, None, None, None], axis=1)[:, 0]
+        cost = cost + jnp.min(c, axis=1)
+        modes = jax.lax.dynamic_update_slice(modes, m[:, None], (0, b))
 
-            # mode syntax symbol: flag(1)=1 if m==pred else 0 + rem(3)
-            eq = m == pred_mode
-            rem = jnp.where(m < pred_mode, m, m - 1)
-            sym_val = sym_val.at[:, b].set(
-                jnp.where(eq, 1, rem).astype(jnp.uint32))
-            sym_len = sym_len.at[:, b].set(jnp.where(eq, 1, 4))
+        # mode syntax symbol: flag(1)=1 if m==pred else 0 + rem(3)
+        eq = m == pred_mode
+        rem = jnp.where(m < pred_mode, m, m - 1)
+        s_val = jnp.where(eq, 1, rem).astype(jnp.uint32)
+        s_len = jnp.where(eq, 1, 4)
 
-            # TQ + recon (full 16-coeff block)
-            coef = transform.fdct4x4(src_blk - best)
-            lev = transform.quant4x4(coef, qp, deadzone_q8)
-            deq = transform.dequant4x4(lev, qp)
-            res = transform.idct4x4(deq)
-            rec = jnp.clip(res + best, 0, 255)
-            levels = levels.at[:, bi, bj].set(lev)
-            canvas = canvas.at[:, 1 + 4 * bi:5 + 4 * bi,
-                               1 + 4 * bj:5 + 4 * bj].set(rec)
+        # TQ + recon (full 16-coeff block)
+        coef = transform.fdct4x4(src_blk - best)
+        lev = transform.quant4x4(coef, qp, deadzone_q8)
+        deq = transform.dequant4x4(lev, qp)
+        res = transform.idct4x4(deq)
+        rec = jnp.clip(res + best, 0, 255)
+        canvas = jax.lax.dynamic_update_slice(canvas, rec,
+                                              (0, y0 + 1, x0 + 1))
+        return (canvas, modes, cost), (m, s_val, s_len, lev)
+
+    carry0 = (canvas, jnp.full((k, 16), 2, jnp.int32),
+              jnp.zeros((k,), jnp.int32))
+    (canvas, modes, cost), (ms, s_vals, s_lens, levs) = \
+        jax.lax.scan(step, carry0, xs)
+    sym_val = s_vals.T                                  # (k, 16) raster
+    sym_len = s_lens.T
+    levels = (levs.reshape(4, 4, k, 4, 4)
+              .transpose(2, 0, 1, 3, 4))                # (k, bi, bj, 4, 4)
 
     recon = canvas[:, 1:17, 1:17].astype(jnp.uint8)
     # reorder mode symbols into coded block order for the bitstream
