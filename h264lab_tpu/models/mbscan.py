@@ -38,6 +38,7 @@ from h264lab_tpu.ops import (cavlc, deblock, intra, intra4, me,
                              qpel, tables, transform)
 from h264lab_tpu.ops.tuning import (INTRA_DEADZONE_Q8, INTER_DEADZONE_Q8,
                                     INTRA_IN_P_PENALTY_BITS, I4_PENALTY_BITS,
+                                    INTER_ZERO_THR_Q8, INTER_ZERO_THR2_Q8,
                                     PART_16X8_PENALTY_BITS,
                                     PART_8X8_PENALTY_BITS)
 
@@ -131,11 +132,35 @@ def _encode_chroma(src, pred, qpc, deadzone):
     return dc_lev, ac_lev, blocks_to_mb(recon)
 
 
-def _encode_inter_luma(src, pred, qp):
+def _encode_inter_luma(src, pred, qp, zero_thr: bool = True):
     sb = mb_to_blocks(src.astype(jnp.int32), 4)
     pb = mb_to_blocks(pred.astype(jnp.int32), 4)
     coef = transform.fdct4x4(sb - pb)
     lev, deq = _quant_blocks(coef, qp, INTER_DEADZONE_Q8)
+    # zero-block thresholding (reference `zero_smallq`,
+    # `src/h264-lab.h:2513-2534`; thresholds ours, ops/tuning.py): kill
+    # a 4x4 whose coefficients all sit under THR1 quant steps, and a
+    # whole 8x8 quarter under THR2 — scattered +-1 levels on noise-like
+    # residual cost bits out of proportion to their distortion win.
+    if zero_thr and INTER_ZERO_THR_Q8 > 0:
+        if jnp.ndim(qp) == 0:
+            thr1 = transform.zero_thr4x4(qp, INTER_ZERO_THR_Q8)
+            thr2 = transform.zero_thr4x4(qp, INTER_ZERO_THR2_Q8)
+        else:
+            thr1 = transform.zero_thr4x4(qp, INTER_ZERO_THR_Q8) \
+                [:, None, None]
+            thr2 = transform.zero_thr4x4(qp, INTER_ZERO_THR2_Q8) \
+                [:, None, None]
+        a = jnp.abs(coef)                              # (k, 4, 4, 4, 4)
+        z1 = jnp.all(a <= thr1, axis=(-2, -1))         # (k, 4, 4) blocks
+        z2b = jnp.all(a <= thr2, axis=(-2, -1))
+        # 8x8 quarters = 2x2 block groups
+        z2q = (z2b.reshape(-1, 2, 2, 2, 2).transpose(0, 1, 3, 2, 4)
+               .reshape(-1, 4, 4).all(axis=-1).reshape(-1, 2, 2))
+        z2 = jnp.repeat(jnp.repeat(z2q, 2, axis=1), 2, axis=2)
+        kill = (z1 | z2)[..., None, None]
+        lev = jnp.where(kill, 0, lev)
+        deq = jnp.where(kill, 0, deq)
     res = transform.idct4x4(deq)
     recon = jnp.clip(res + pb, 0, 255).astype(jnp.uint8)
     return lev, blocks_to_mb(recon)

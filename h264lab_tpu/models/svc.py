@@ -97,7 +97,10 @@ def _base_mode_frame_core(src_y, src_u, src_v, pred_y, pred_u, pred_v,
     """
     nmb = mb_width * mb_height
     ns = cavlc.N_SLOTS
-    lev, recon_y = mbscan._encode_inter_luma(src_y, pred_y, qp)
+    # zero_thr off: inter-layer intra residual is structured (upsampling
+    # error), not noise — block kills cost real texture here
+    lev, recon_y = mbscan._encode_inter_luma(src_y, pred_y, qp,
+                                             zero_thr=False)
     cdc2, cac2, rec_uv = mbscan._encode_chroma(
         jnp.concatenate([src_u, src_v]),
         jnp.concatenate([pred_u, pred_v]), qpc, INTER_DEADZONE_Q8)

@@ -106,6 +106,21 @@ def hadamard2x2(x: jnp.ndarray) -> jnp.ndarray:
 # AC quant / dequant
 # ---------------------------------------------------------------------------
 
+def zero_thr4x4(qp, thr_q8) -> jnp.ndarray:
+    """Per-coefficient zero thresholds at `thr_q8`/256 quantization steps:
+    the largest |coef| treated as negligible for block-kill decisions
+    (the analog of the reference's `rc_rnd2thr`-derived `g_thr_inter`
+    thresholds, `src/h264-lab.h:5822-5834`, `:2491-2534` — mechanism
+    reproduced, thresholds our own fits in ops/tuning.py). Returns
+    (..., 4, 4) int32 for scalar or batched qp."""
+    qp = jnp.asarray(qp, jnp.int32)
+    mf = _MF[qp % 6][..., _POS]                  # (..., 4, 4)
+    qbits = jnp.broadcast_to((15 + qp // 6)[..., None, None], mf.shape)
+    # thr = thr_q8/256 * step,  step = 2^qbits / MF  (int32-safe:
+    # thr_q8 < 2^9 and qbits-8 <= 15, so the shift stays under 2^24)
+    return ((jnp.int32(thr_q8) << (qbits - 8)) // mf).astype(jnp.int32)
+
+
 def quant4x4(coef: jnp.ndarray, qp, deadzone_q8) -> jnp.ndarray:
     """Quantize batched 4x4 coefficient blocks.
 

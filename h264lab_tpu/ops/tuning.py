@@ -28,6 +28,16 @@ INTRA_DEADZONE_Q8 = _tune("INTRA_DEADZONE_Q8", 94)
 # chasing the extreme of one synthetic fixture)
 INTER_DEADZONE_Q8 = _tune("INTER_DEADZONE_Q8", 72)
 
+# zero-block thresholding on the inter path (reference `zero_smallq`
+# mechanism, `src/h264-lab.h:2491-2534`; per-coefficient thresholds in
+# quantization steps, Q8): a 4x4 block whose transform coefficients all
+# sit at or below THR steps is zeroed wholesale, an 8x8 quarter below
+# THR2 likewise — scattered small levels on noise-like residual cost
+# CAVLC bits far above their distortion value. 0 disables. Defaults
+# fitted on the two-content RD ladder (RD_COMPARE.md).
+INTER_ZERO_THR_Q8 = _tune("INTER_ZERO_THR_Q8", 186)
+INTER_ZERO_THR2_Q8 = _tune("INTER_ZERO_THR2_Q8", 282)
+
 # mode-decision side-info bit charges (lambda-weighted), reference
 # lambda/cost experiment log `src/h264-lab.h:4862-4874`
 INTRA_IN_P_PENALTY_BITS = _tune("INTRA_IN_P_PENALTY_BITS", 24)

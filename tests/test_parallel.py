@@ -80,10 +80,8 @@ def test_mesh_sharded_stream_matches_and_decodes(run):
 
 
 def test_gop_encoder_rejects_unsupported_configs():
-    cfg = EncoderConfig(width=W, height=H, gop=3, qp=QP,
-                        max_long_term_reference_frames=2)
-    with pytest.raises(ValueError):
-        GopBandEncoder(cfg, n_gop=2)
+    # (long-term references are supported on the GOP path since round 5 —
+    # see test_ltr_frame_types_on_gop_path; denoise remains sequential-only)
     cfg = EncoderConfig(width=W, height=H, gop=3, qp=QP,
                         temporal_denoise_flag=True)
     with pytest.raises(ValueError):

@@ -32,7 +32,8 @@ import pytest
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-from h264lab_tpu.utils.synthetic import chessboard_sequence  # noqa: E402
+from h264lab_tpu.utils.synthetic import (chessboard_sequence,  # noqa: E402
+                                         noise_pan_sequence)
 from h264lab_tpu.utils.metrics import PsnrAccumulator  # noqa: E402
 
 REF_SRC = "/root/reference/src"
@@ -46,16 +47,19 @@ QP_LADDER = (22, 27, 32, 37)
 # quality target).
 MARGIN_DB = 0.25
 
-# (width, height, n_frames, gop, encode_speed). "qcif_speed1" is the
-# fast core-gate scenario; "cif_speed2" covers the bench path (speed 2:
-# fully-parallel P with the intra-neighbour mode constraint,
-# models/mbscan.py) at CIF size — the configuration VERDICT r3 flagged
-# as unmeasured.
+# (width, height, n_frames, gop, encode_speed, content).
+# "qcif_speed1" is the fast core-gate scenario; "qcif_noise_speed1" runs
+# the same programs on a second content class (filtered-noise pan:
+# smooth gradients + global sub-pel motion, no periodic edges);
+# "cif_speed2" covers the bench path (speed 2: fully-parallel P with
+# the intra-neighbour mode constraint, models/mbscan.py) at CIF size.
 SCENARIOS = {
-    "qcif_speed1": (128, 96, 12, 12, 1),
-    "cif_speed2": (352, 288, 30, 30, 2),
+    "qcif_speed1": (128, 96, 12, 12, 1, "chess"),
+    "qcif_noise_speed1": (128, 96, 12, 12, 1, "noise"),
+    "cif_speed2": (352, 288, 30, 30, 2, "chess"),
 }
-W, H, N_FRAMES, GOP, SPEED = SCENARIOS["qcif_speed1"]
+CONTENT = {"chess": chessboard_sequence, "noise": noise_pan_sequence}
+W, H, N_FRAMES, GOP, SPEED, _ = SCENARIOS["qcif_speed1"]
 
 DRIVER_C = r"""
 /* RD-ladder driver for the reference encoder (not part of the
@@ -135,10 +139,10 @@ int main(int argc, char **argv)
 """
 
 
-def _sequence_bytes(w=W, h=H, n=N_FRAMES):
+def _sequence_bytes(w=W, h=H, n=N_FRAMES, content="chess"):
     chunks = []
     frames = []
-    for y, u, v in chessboard_sequence(w, h, n):
+    for y, u, v in CONTENT[content](w, h, n):
         chunks.append(y.tobytes() + u.tobytes() + v.tobytes())
         frames.append((y, u, v))
     return b"".join(chunks), frames
@@ -208,8 +212,8 @@ def run_ours_ladder(frames, w=W, h=H, speed=SPEED, gop=GOP):
 
 def run_scenario(name):
     """Full ladder pair + comparison rows for one named scenario."""
-    w, h, n, gop, speed = SCENARIOS[name]
-    raw, frames = _sequence_bytes(w, h, n)
+    w, h, n, gop, speed, content = SCENARIOS[name]
+    raw, frames = _sequence_bytes(w, h, n, content)
     ref = run_reference_ladder(frames, raw, w, h, n, speed, gop)
     ours = run_ours_ladder(frames, w, h, speed, gop)
     return compare(ref, ours)
@@ -264,11 +268,11 @@ def render_md(rows_by_scenario):
         "`python tests/test_rd_parity.py --update`.",
     ]
     for name, rows in rows_by_scenario.items():
-        w, h, n, gop, speed = SCENARIOS[name]
+        w, h, n, gop, speed, content = SCENARIOS[name]
         lines += [
             "",
             f"## {name}: {w}x{h}, {n} frames, gop={gop}, "
-            f"encode_speed={speed}",
+            f"encode_speed={speed}, content={content}",
             "",
             "| QP | ref kbps | ref Y-PSNR | ours kbps | ours Y-PSNR | "
             "ref PSNR @ our rate | delta (dB) |",
@@ -296,6 +300,12 @@ def test_rd_parity_vs_reference():
     """Our PSNR-at-equal-bitrate must not trail the reference by more
     than MARGIN_DB at any ladder point (fast core-gate scenario)."""
     _assert_rows(run_scenario("qcif_speed1"))
+
+
+def test_rd_parity_noise_content():
+    """Same gate on the filtered-noise pan content class (natural-
+    content stand-in; same shape/speed, so no extra compiles)."""
+    _assert_rows(run_scenario("qcif_noise_speed1"))
 
 
 @pytest.mark.slow
