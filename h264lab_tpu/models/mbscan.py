@@ -955,13 +955,18 @@ def _mv_predictors(mv4_y, mv4_x, is_intra, mb_width, mb_height):
     AVAILp = jnp.pad(jnp.ones((BH, BW), bool), pad)
 
     def blk(dy, dx, static_avail=True):
-        """Neighbour block at MB-relative block offset (dy, dx)."""
-        ys = 4 * rr + dy + 1
-        xs = 4 * cc + dx + 1
-        avail = AVAILp[ys, xs] & static_avail
-        ref = REF0p[ys, xs] & avail
-        my = jnp.where(ref, MVYp[ys, xs], 0)
-        mx = jnp.where(ref, MVXp[ys, xs], 0)
+        """Neighbour block at MB-relative block offset (dy, dx) — a
+        STRIDED STATIC SLICE (rows 4*rr+dy+1 = [1+dy::4]), not a gather:
+        (dy, dx) come from the fixed partition tables, so every
+        neighbour read vectorizes on the VPU instead of the scalar
+        core."""
+        def at(arr):
+            return arr[1 + dy:1 + dy + 4 * mbh:4,
+                       1 + dx:1 + dx + 4 * mbw:4].reshape(-1)
+        avail = at(AVAILp) & static_avail
+        ref = at(REF0p) & avail
+        my = jnp.where(ref, at(MVYp), 0)
+        mx = jnp.where(ref, at(MVXp), 0)
         return my, mx, ref, avail
 
     def derive(a, b, c, d, directional=None):
@@ -1239,8 +1244,9 @@ def symbolize(sel, mode16, cmode, i4modes, i4sym_v, i4sym_l,
     cm_v, cm_l = _ue_codes(cmode)
     cm_l = jnp.where(coded & is_intra, cm_l, 0)
 
-    cbp_code = jnp.where(is_i4, _CBP_INTRA_CODE[jnp.clip(cbp, 0, 47)],
-                         _CBP_INTER_CODE[jnp.clip(cbp, 0, 47)])
+    cbp_c = jnp.clip(cbp, 0, 47)
+    cbp_code = jnp.where(is_i4, cavlc._lut(_CBP_INTRA_CODE, cbp_c),
+                         cavlc._lut(_CBP_INTER_CODE, cbp_c))
     cbpv, cbpl_ = _ue_codes(cbp_code)
     cbpl_ = jnp.where(coded & (is_inter | is_i4), cbpl_, 0)
 

@@ -42,6 +42,18 @@ _RB_LEN = jnp.asarray(tc.RUN_BEFORE_LEN)      # (8, 15)
 _RB_VAL = jnp.asarray(tc.RUN_BEFORE_VAL)
 
 
+def _lut(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Gather-free small-table lookup: one-hot compare + masked sum.
+    Elementwise gathers run through the TPU scalar core (~20 ms per
+    million elements); for tables of a few hundred entries the dense
+    one-hot contraction runs at VPU speed instead. `table` flat (T,),
+    `idx` any shape of int32 in [0, T)."""
+    flat = table.reshape(-1)
+    r = jnp.arange(flat.shape[0], dtype=jnp.int32)
+    oh = idx[..., None] == r
+    return jnp.sum(jnp.where(oh, flat, 0), axis=-1)
+
+
 def nc_context(nc: jnp.ndarray) -> jnp.ndarray:
     """Map nC to coeff_token table index (spec 9.2.1): 0,1,2 for the nC
     ranges [0,2),[2,4),[4,8); 3 = FLC nC>=8; 4 = chroma DC (nC==-1)."""
@@ -144,8 +156,9 @@ def encode_blocks(levels: jnp.ndarray, nc: jnp.ndarray, max_coeff):
     t1 = jnp.minimum(t1, total)
 
     ctx = nc_context(nc)
-    ct_val = _CT_VAL[ctx, total, t1].astype(jnp.uint32)
-    ct_len = _CT_LEN[ctx, total, t1]
+    ct_idx = (ctx * 17 + total) * 4 + t1
+    ct_val = _lut(_CT_VAL, ct_idx).astype(jnp.uint32)
+    ct_len = _lut(_CT_LEN, ct_idx)
 
     # trailing one signs, highest frequency first, packed into one symbol
     sign_bits = (lev < 0).astype(jnp.uint32)
@@ -186,11 +199,13 @@ def encode_blocks(levels: jnp.ndarray, nc: jnp.ndarray, max_coeff):
     highest_pos = pos[:, 0]                       # scan index of last nonzero
     total_zeros = jnp.where(total > 0, highest_pos + 1 - total, 0)
     if isinstance(max_coeff, int) and max_coeff == 4:
-        tz_val = _CZ_VAL[jnp.minimum(total, 3), jnp.minimum(total_zeros, 3)]
-        tz_len = _CZ_LEN[jnp.minimum(total, 3), jnp.minimum(total_zeros, 3)]
+        cz_idx = jnp.minimum(total, 3) * 4 + jnp.minimum(total_zeros, 3)
+        tz_val = _lut(_CZ_VAL, cz_idx)
+        tz_len = _lut(_CZ_LEN, cz_idx)
     else:
-        tz_val = _TZ_VAL[jnp.minimum(total, 15), total_zeros]
-        tz_len = _TZ_LEN[jnp.minimum(total, 15), total_zeros]
+        tz_idx = jnp.minimum(total, 15) * 16 + total_zeros
+        tz_val = _lut(_TZ_VAL, tz_idx)
+        tz_len = _lut(_TZ_LEN, tz_idx)
     has_tz = (total > 0) & (total < mc)
     tz_val = jnp.where(has_tz, tz_val, 0).astype(jnp.uint32)
     tz_len = jnp.where(has_tz, tz_len, 0)
@@ -204,8 +219,9 @@ def encode_blocks(levels: jnp.ndarray, nc: jnp.ndarray, max_coeff):
     need = (ks < total[:, None] - 1) & (zeros_left > 0) & (total[:, None] > 0)
     zl = jnp.clip(zeros_left, 0, 7)
     runc = jnp.clip(run, 0, 14)
-    rb_vals = jnp.where(need, _RB_VAL[zl, runc].astype(jnp.uint32), 0)
-    rb_lens = jnp.where(need, _RB_LEN[zl, runc], 0)
+    rb_idx = zl * 15 + runc
+    rb_vals = jnp.where(need, _lut(_RB_VAL, rb_idx).astype(jnp.uint32), 0)
+    rb_lens = jnp.where(need, _lut(_RB_LEN, rb_idx), 0)
 
     vals = jnp.concatenate(
         [ct_val[:, None], t1_sign_val[:, None], lv_v.T, tz_val[:, None],

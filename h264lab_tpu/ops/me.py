@@ -132,6 +132,33 @@ def _slice_windows(plane, oy, ox, sh: int, sw: int):
     return f(oy, ox)
 
 
+def _tiled_windows(ref_pad, mb_height: int, mb_width: int, row_offset,
+                   m: int = WIN_M):
+    """(nmb, 16+2m, 16+2m) zero-MV search windows — one per MB tile —
+    built from NINE static strided reshapes of the reference plane plus
+    one contiguous dynamic_slice (band offset). The zero-MV candidate's
+    windows need no gather at all: a measured 151 ms gather per 1080p
+    x8-lane dispatch becomes ~2 ms of plain HBM copies. Requires
+    GUARD >= m + 16."""
+    g = qpel.GUARD
+    H16, W16 = 16 * mb_height, 16 * mb_width
+    region = jax.lax.dynamic_slice(
+        ref_pad, (16 * jnp.asarray(row_offset, jnp.int32) + g - 16, 0),
+        (H16 + 32, W16 + 2 * g))
+
+    def tiles_at(a, b):
+        sub = region[a:a + H16, g - 16 + b:g - 16 + b + W16]
+        return (sub.reshape(mb_height, 16, mb_width, 16)
+                .transpose(0, 2, 1, 3))
+
+    rows = []
+    for a in (0, 16, 32):
+        rows.append(jnp.concatenate([tiles_at(a, b) for b in (0, 16, 32)],
+                                    axis=3))
+    w3 = jnp.concatenate(rows, axis=2)          # (mbh, mbw, 48, 48)
+    return w3.reshape(-1, 48, 48)[:, 16 - m:32 + m, 16 - m:32 + m]
+
+
 def _shift_select(x, sel, lo: int, hi: int, base: int, size: int, axis: int):
     """out[k] = x[k] sliced at (base + sel[k]) of length `size` along
     `axis`, for sel in [lo, hi] — a (hi-lo+1)-way masked select of static
@@ -261,6 +288,10 @@ def _phase_planes(wins):
     def S(w, ey=0, ex=0):
         return w[:, ey:ey + sy, ex:ex + sx]
 
+    # stacked with (fy, fx) as LEADING axes — dynamic_slice with traced
+    # starts in leading dims keeps the per-MB (k) and pixel dims intact,
+    # which lowers to a cheap offset select instead of a strided
+    # mid-dimension slice
     rows = []
     for fy in range(4):
         row = []
@@ -285,8 +316,8 @@ def _phase_planes(wins):
                 (3, 3): lambda: avg(S(h, 0, 1), S(b, 1, 0)),
             }
             row.append(tab[(fx, fy)]())
-        rows.append(jnp.stack(row, axis=1))
-    return jnp.stack(rows, axis=1)          # (k, fy, fx, S, S)
+        rows.append(jnp.stack(row, axis=0))
+    return jnp.stack(rows, axis=0)          # (fy, fx, k, S, S)
 
 
 def _sweep_fullpel(cur_i, win, base_y: int, base_x: int, radius: int,
@@ -317,10 +348,10 @@ def _sweep_fullpel(cur_i, win, base_y: int, base_x: int, radius: int,
 
 def _sweep_qpel(cur_i, phases, center: int, cost_fn, radius: int = 3):
     """Dense (2r+1)^2 quarter-pel sweep over the phase-plane stack as a
-    `fori_loop`. phases: (k, 4, 4, S, S); the full-pel winner sits at
-    plane coord `center`. cost_fn(sad, dyq, dxq) -> cost.
-    Returns (cost, dyq, dxq, pred) best per MB."""
-    k, _, _, _, _ = phases.shape
+    `fori_loop`. phases: (4, 4, k, S, S) [fy, fx leading — see
+    _phase_planes]; the full-pel winner sits at plane coord `center`.
+    cost_fn(sad, dyq, dxq) -> cost. Returns (cost, dyq, dxq, pred)."""
+    k = phases.shape[2]
     bh, bw = cur_i.shape[1], cur_i.shape[2]
     side = 2 * radius + 1
 
@@ -329,9 +360,9 @@ def _sweep_qpel(cur_i, phases, center: int, cost_fn, radius: int = 3):
         dyq = i // side - radius
         dxq = i % side - radius
         pred = jax.lax.dynamic_slice(
-            phases, (0, dyq & 3, dxq & 3,
+            phases, (dyq & 3, dxq & 3, 0,
                      center + (dyq >> 2), center + (dxq >> 2)),
-            (k, 1, 1, bh, bw))[:, 0, 0]
+            (1, 1, k, bh, bw))[0, 0]
         sad = jnp.sum(jnp.abs(cur_i - pred), axis=(1, 2))
         cost = cost_fn(sad, dyq, dxq)
         upd = cost < best
@@ -383,47 +414,62 @@ def motion_search_dense(cur_plane, cur_tiles, ref_pad, ref4_pad,
     mvp_y, mvp_x = spatial_predictor(cy4, cx4, mb_height, mb_width)
 
     cur_i = cur_tiles.astype(jnp.int32)
-    zero = jnp.zeros((nmb,), jnp.int32)
 
-    # ---- candidate full-pel centres, each refined by a +-3 dense sweep
-    # of static window slices. The coarse winner alone is unreliable on
-    # periodic content (the 4x pyramid aliases: a chessboard matches
-    # itself at multiples of its cell period, so the dense coarse SAD
-    # has spurious global minima the +-3 refine cannot escape); the
-    # zero-MV and previous-MV candidates restore the local minimum the
-    # reference's descent-from-predictor reaches
-    # (`src/h264-lab.h:5263-5277`).
-    cands = [(4 * cy4, 4 * cx4), (zero, zero)]
+    # ---- candidate full-pel centres: coarse winner, zero MV, previous
+    # frame's MV. The coarse winner alone is unreliable on periodic
+    # content (the 4x pyramid aliases: a chessboard matches itself at
+    # multiples of its cell period); the zero-MV and previous-MV
+    # candidates restore the local minimum the reference's
+    # descent-from-predictor reaches (`src/h264-lab.h:5263-5277`).
+    #
+    # Like the reference (`:5388-5412`), the BEST candidate is selected
+    # first — full-resolution 16x16 SAD + lambda*mv-bits at each centre —
+    # and only the winner gets a search window. Per-MB window extraction
+    # is the one gathering access in the whole search (~150 ms per
+    # 1080p x8-lane dispatch); centre SADs cost ~1/5 of that, so
+    # select-then-gather beats gather-all-then-refine ~2x.
+    cands = [(4 * cy4, 4 * cx4)]
     if prev_my is not None:
         cands.append((jnp.clip(prev_my, -MAX_CAND_FP, MAX_CAND_FP),
                       jnp.clip(prev_mx, -MAX_CAND_FP, MAX_CAND_FP)))
 
-    best_cost = jnp.full((nmb,), 1 << 30, jnp.int32)
-    full_my = jnp.zeros((nmb,), jnp.int32)
-    full_mx = jnp.zeros((nmb,), jnp.int32)
-    A = None
-    for cm_y, cm_x in cands:
-        win = _slice_windows(ref_pad, base_y + cm_y - WIN_M,
-                             base_x + cm_x - WIN_M,
-                             WIN_S, WIN_S).astype(jnp.int32)
+    # zero-MV centre: SAD against the static co-located tiles (no gather)
+    ztiles = _tiled_windows(ref_pad, mb_height, mb_width, row_offset,
+                            m=0).astype(jnp.int32)
+    zcost = (jnp.sum(jnp.abs(cur_i - ztiles), axis=(1, 2))
+             + lam * (mv_bits(-mvp_y) + mv_bits(-mvp_x)))
+    best_ccost = zcost
+    cm_y = jnp.zeros((nmb,), jnp.int32)
+    cm_x = jnp.zeros((nmb,), jnp.int32)
+    for cy, cx in cands:
+        blk = _slice_windows(ref_pad, base_y + cy, base_x + cx,
+                             16, 16).astype(jnp.int32)
+        cost = (jnp.sum(jnp.abs(cur_i - blk), axis=(1, 2))
+                + lam * (mv_bits(cy * 4 - mvp_y) + mv_bits(cx * 4 - mvp_x)))
+        upd = cost < best_ccost
+        best_ccost = jnp.where(upd, cost, best_ccost)
+        cm_y = jnp.where(upd, cy, cm_y)
+        cm_x = jnp.where(upd, cx, cm_x)
 
-        def refine_cost(sad, dy, dx, cm_y=cm_y, cm_x=cm_x):
-            return sad + lam * (mv_bits((cm_y + dy) * 4 - mvp_y)
-                                + mv_bits((cm_x + dx) * 4 - mvp_x))
+    # ONE window gather at the winning centre, one +-3 refine sweep
+    win = _slice_windows(ref_pad, base_y + cm_y - WIN_M,
+                         base_x + cm_x - WIN_M,
+                         WIN_S, WIN_S).astype(jnp.int32)
 
-        c_cost, c_dy, c_dx = _sweep_fullpel(cur_i, win, WIN_M, WIN_M,
-                                            REFINE_R, refine_cost)
-        # re-centre this candidate's window on its refined winner:
-        # A_c[p] = win[winner - 5 + p]
-        A_c = _shift_select(win, c_dy, -REFINE_R, REFINE_R,
-                            WIN_M - 5, ALN_S, axis=1)
-        A_c = _shift_select(A_c, c_dx, -REFINE_R, REFINE_R,
-                            WIN_M - 5, ALN_S, axis=2)
-        upd = c_cost < best_cost
-        best_cost = jnp.where(upd, c_cost, best_cost)
-        full_my = jnp.where(upd, cm_y + c_dy, full_my)
-        full_mx = jnp.where(upd, cm_x + c_dx, full_mx)
-        A = A_c if A is None else jnp.where(upd[:, None, None], A_c, A)
+    def refine_cost(sad, dy, dx):
+        return sad + lam * (mv_bits((cm_y + dy) * 4 - mvp_y)
+                            + mv_bits((cm_x + dx) * 4 - mvp_x))
+
+    best_cost, best_dy, best_dx = _sweep_fullpel(
+        cur_i, win, WIN_M, WIN_M, REFINE_R, refine_cost)
+    full_my = cm_y + best_dy
+    full_mx = cm_x + best_dx
+
+    # re-centre the window on the refined winner: A[p] = win[winner-5+p]
+    A = _shift_select(win, best_dy, -REFINE_R, REFINE_R,
+                      WIN_M - 5, ALN_S, axis=1)
+    A = _shift_select(A, best_dx, -REFINE_R, REFINE_R,
+                      WIN_M - 5, ALN_S, axis=2)
 
     # materialize the refine stage: the candidate sweeps above are long
     # select chains that XLA's fusion otherwise *duplicates into every
