@@ -42,8 +42,8 @@ from h264lab_tpu.utils.synthetic import chessboard_sequence  # noqa: E402
 WIDTH, HEIGHT = 1920, 1088
 QP = 33
 GOP = 20
-LANES = int(os.environ.get("BENCH_LANES", "8"))
-STEPS = int(os.environ.get("BENCH_STEPS", "12"))   # timed steps (x LANES frames)
+LANES = int(os.environ.get("BENCH_LANES", "16"))
+STEPS = int(os.environ.get("BENCH_STEPS", "10"))   # timed steps (x LANES frames)
 WARMUP = 3
 SPEED = int(os.environ.get("BENCH_SPEED", "2"))
 # Hard wall-clock budget (s, from process start): the timed loop stops

@@ -317,7 +317,10 @@ def _phase_planes(wins):
             }
             row.append(tab[(fx, fy)]())
         rows.append(jnp.stack(row, axis=0))
-    return jnp.stack(rows, axis=0)          # (fy, fx, k, S, S)
+    # uint8 storage: all phase samples are clipped pixel values; the
+    # stack is the largest ME intermediate (G*nmb*16*S^2), so byte
+    # storage quarters its HBM footprint and traffic
+    return jnp.stack(rows, axis=0).astype(jnp.uint8)   # (fy, fx, k, S, S)
 
 
 def _sweep_fullpel(cur_i, win, base_y: int, base_x: int, radius: int,
@@ -362,7 +365,7 @@ def _sweep_qpel(cur_i, phases, center: int, cost_fn, radius: int = 3):
         pred = jax.lax.dynamic_slice(
             phases, (dyq & 3, dxq & 3, 0,
                      center + (dyq >> 2), center + (dxq >> 2)),
-            (1, 1, k, bh, bw))[0, 0]
+            (1, 1, k, bh, bw))[0, 0].astype(jnp.int32)
         sad = jnp.sum(jnp.abs(cur_i - pred), axis=(1, 2))
         cost = cost_fn(sad, dyq, dxq)
         upd = cost < best
