@@ -166,3 +166,35 @@ def test_ltr_frame_types_on_gop_path():
         for pd, pe in zip(got, recons[t]):
             np.testing.assert_array_equal(np.asarray(pd), np.asarray(pe),
                                           err_msg=f"frame {t}")
+
+
+def test_band_scaling_sanity():
+    """Band decomposition scales the wavefront: more bands => strictly
+    shorter per-band scans (the latency the band axis buys on a mesh),
+    and a multi-band frame still round-trips bit-exactly."""
+    from h264lab_tpu.models import wavefront as wf
+
+    depth1 = wf.make_plan(8, 8, slope=1).steps.shape[0]
+    depth2 = wf.make_plan(8, 4, slope=1).steps.shape[0]
+    depth4 = wf.make_plan(8, 2, slope=1).steps.shape[0]
+    assert depth4 < depth2 < depth1
+
+    from h264lab_tpu.models.encoder import H264Encoder
+    from h264lab_tpu.decoder.decoder import H264Decoder
+
+    cfg = EncoderConfig(width=64, height=64, gop=2, qp=30, slice_bands=4)
+    enc = H264Encoder(cfg)
+    stream = b""
+    recons = []
+    for (y, u, v) in chessboard_sequence(64, 64, 2):
+        r = enc.encode(y, u, v, RunConfig(qp_min=30, qp_max=30,
+                                          encode_speed=2),
+                       return_recon=True)
+        stream += r.payload
+        recons.append(r.recon)
+    dec = H264Decoder()
+    frames = dec.decode(stream)
+    assert len(frames) == 2
+    for i, f in enumerate(frames):
+        np.testing.assert_array_equal(f.cropped(dec.sps)[0], recons[i][0],
+                                      err_msg=f"frame {i}")

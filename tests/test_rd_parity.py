@@ -308,10 +308,11 @@ def test_rd_parity_noise_content():
     _assert_rows(run_scenario("qcif_noise_speed1"))
 
 
-@pytest.mark.slow
 def test_rd_parity_cif_speed2():
     """Same gate on the bench path: CIF, 30 frames, encode_speed 2
-    (fully-parallel P frames with the intra mode constraint)."""
+    (fully-parallel P frames with the intra mode constraint) — a
+    default-gate scenario since round 5 (the configuration the
+    benchmark actually runs must carry an RD check on every gate)."""
     _assert_rows(run_scenario("cif_speed2"))
 
 

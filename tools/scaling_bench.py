@@ -48,14 +48,15 @@ WARMUP = 2
 SPEED = 2
 
 
-def measure(n_lanes: int, mesh=None) -> float:
+def measure(n_lanes: int, mesh=None, bands: int = 1) -> float:
     frames = list(chessboard_sequence(W, H, WARMUP + STEPS))
 
     def lane_inputs(t):
         return [frames[(g * GOP + t) % len(frames)]
                 for g in range(n_lanes)]
 
-    cfg = EncoderConfig(width=W, height=H, gop=GOP, qp=QP)
+    cfg = EncoderConfig(width=W, height=H, gop=GOP, qp=QP,
+                        slice_bands=bands)
     enc = GopBandEncoder(cfg, n_gop=n_lanes, mesh=mesh)
     run = RunConfig(qp_min=QP, qp_max=QP, encode_speed=SPEED)
     for t in range(WARMUP):
@@ -74,6 +75,30 @@ def measure(n_lanes: int, mesh=None) -> float:
 
 def main():
     rows = []
+    if "--bands" in sys.argv:
+        # band axis on one device: B independent slices per frame
+        # (the reference's slice-thread decomposition; more bands =
+        # shorter wavefronts + per-slice overhead)
+        base = None
+        for b in (1, 2, 4):
+            fps = measure(4, bands=b)
+            base = fps if base is None else base
+            rows.append(dict(mode="bands", lanes=4, bands=b,
+                             fps=round(fps, 3),
+                             vs_1band=round(fps / base, 3)))
+            print(json.dumps(rows[-1]))
+        if "--update" in sys.argv:
+            path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "..", "SCALING.md")
+            with open(path, "a") as f:
+                f.write(f"\n## bands {W}x{H} gop={GOP} qp={QP} "
+                        f"speed={SPEED} lanes=4\n\n"
+                        "| bands | fps | vs 1 band |\n|---:|---:|---:|\n")
+                for r in rows:
+                    f.write(f"| {r['bands']} | {r['fps']} | "
+                            f"{r['vs_1band']} |\n")
+            print(f"appended to {path}")
+        return
     if MESH_MODE:
         base = None
         for n in (1, 2, 4, 8):
