@@ -426,38 +426,40 @@ def motion_search_dense(cur_plane, cur_tiles, ref_pad, ref4_pad,
     # descent-from-predictor reaches (`src/h264-lab.h:5263-5277`).
     #
     # Like the reference (`:5388-5412`), the BEST candidate is selected
-    # first — full-resolution 16x16 SAD + lambda*mv-bits at each centre —
-    # and only the winner gets a search window. Per-MB window extraction
-    # is the one gathering access in the whole search (~150 ms per
-    # 1080p x8-lane dispatch); centre SADs cost ~1/5 of that, so
-    # select-then-gather beats gather-all-then-refine ~2x.
+    # first — full-resolution 16x16 SAD + lambda*mv-bits per centre —
+    # and only the winner's window is refined. Gather-callsite economy
+    # is the design rule: a vmapped per-MB dynamic_slice costs ~140 ms
+    # per 1080p x8-lane dispatch REGARDLESS of slice size (per-index
+    # overhead), so the centre SADs come from static slices of the same
+    # windows (zero-MV windows are static tiling — no gather at all)
+    # and the whole search performs exactly two gathers.
+    def centre_cost(win_i, cy, cx):
+        blk = win_i[:, WIN_M:WIN_M + 16, WIN_M:WIN_M + 16]
+        return (jnp.sum(jnp.abs(cur_i - blk), axis=(1, 2))
+                + lam * (mv_bits(cy * 4 - mvp_y)
+                         + mv_bits(cx * 4 - mvp_x)))
+
+    win_z = _tiled_windows(ref_pad, mb_height, mb_width,
+                           row_offset).astype(jnp.int32)
+    zero = jnp.zeros((nmb,), jnp.int32)
+    best_ccost = centre_cost(win_z, zero, zero)
+    cm_y = jnp.zeros((nmb,), jnp.int32)
+    cm_x = jnp.zeros((nmb,), jnp.int32)
+    win = win_z
     cands = [(4 * cy4, 4 * cx4)]
     if prev_my is not None:
         cands.append((jnp.clip(prev_my, -MAX_CAND_FP, MAX_CAND_FP),
                       jnp.clip(prev_mx, -MAX_CAND_FP, MAX_CAND_FP)))
-
-    # zero-MV centre: SAD against the static co-located tiles (no gather)
-    ztiles = _tiled_windows(ref_pad, mb_height, mb_width, row_offset,
-                            m=0).astype(jnp.int32)
-    zcost = (jnp.sum(jnp.abs(cur_i - ztiles), axis=(1, 2))
-             + lam * (mv_bits(-mvp_y) + mv_bits(-mvp_x)))
-    best_ccost = zcost
-    cm_y = jnp.zeros((nmb,), jnp.int32)
-    cm_x = jnp.zeros((nmb,), jnp.int32)
     for cy, cx in cands:
-        blk = _slice_windows(ref_pad, base_y + cy, base_x + cx,
-                             16, 16).astype(jnp.int32)
-        cost = (jnp.sum(jnp.abs(cur_i - blk), axis=(1, 2))
-                + lam * (mv_bits(cy * 4 - mvp_y) + mv_bits(cx * 4 - mvp_x)))
+        win_c = _slice_windows(ref_pad, base_y + cy - WIN_M,
+                               base_x + cx - WIN_M,
+                               WIN_S, WIN_S).astype(jnp.int32)
+        cost = centre_cost(win_c, cy, cx)
         upd = cost < best_ccost
         best_ccost = jnp.where(upd, cost, best_ccost)
         cm_y = jnp.where(upd, cy, cm_y)
         cm_x = jnp.where(upd, cx, cm_x)
-
-    # ONE window gather at the winning centre, one +-3 refine sweep
-    win = _slice_windows(ref_pad, base_y + cm_y - WIN_M,
-                         base_x + cm_x - WIN_M,
-                         WIN_S, WIN_S).astype(jnp.int32)
+        win = jnp.where(upd[:, None, None], win_c, win)
 
     def refine_cost(sad, dy, dx):
         return sad + lam * (mv_bits((cm_y + dy) * 4 - mvp_y)

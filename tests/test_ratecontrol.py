@@ -133,35 +133,39 @@ def test_mb_qp_delta_row_rc():
 
     W, H, N = 96, 96, 6
     rng = np.random.default_rng(3)
-    # top rows flat (cheap), bottom rows noisy (expensive): the per-row
-    # bit shares force a non-uniform row QP plan
-    base = np.zeros((H, W), np.uint8)
-    base[H // 2:] = rng.integers(0, 256, (H // 2, W), np.uint8)
+    # top rows weak noise (cheap but CODED), bottom rows strong noise
+    # (expensive): the per-row bit shares force a non-uniform row QP
+    # plan AND both halves keep coded macroblocks, so the plan
+    # materializes as real mb_qp_delta syntax (skip MBs cannot carry a
+    # dQP; a flat half would simply skip under the zero-block
+    # thresholds and legally decode at the slice QP)
+    strong = rng.integers(0, 256, (H // 2, W)).astype(np.int32)
+    weak = 128 + rng.integers(-60, 61, (H // 2, W)).astype(np.int32)
+    base = np.concatenate([weak, strong]).astype(np.uint8)
     u = np.full((H // 2, W // 2), 128, np.uint8)
 
     cfg = EncoderConfig(width=W, height=H, gop=N, qp=33,
                         fine_rate_control_flag=True, slice_bands=1)
     enc = H264Encoder(cfg)
-    run = RunConfig(qp_min=20, qp_max=45, desired_frame_bytes=700,
+    run = RunConfig(qp_min=20, qp_max=45, desired_frame_bytes=500,
                     encode_speed=2)
     stream = b""
     recons = []
     for t in range(N):
-        y = np.roll(base, t, axis=0)
+        y = np.roll(base, 2 * t, axis=0)
         r = enc.encode(y, u, u, run, return_recon=True)
         stream += r.payload
         recons.append((y, r.recon))
     dec = H264Decoder()
     frames = dec.decode(stream)
     assert len(frames) == N
-    qp_spread = 0
     for i, f in enumerate(frames):
         got = f.cropped(dec.sps)
         np.testing.assert_array_equal(got[0], recons[i][1][0],
                                       err_msg=f"frame {i} luma")
         np.testing.assert_array_equal(got[1], recons[i][1][1],
                                       err_msg=f"frame {i} chroma")
-        qp_spread = max(qp_spread, int(dec._mb_qp.max() - dec._mb_qp.min()))
-    # at least one frame must have used more than one QP inside the
-    # single slice — i.e. nonzero mb_qp_delta was emitted and decoded
-    assert qp_spread > 0
+    # dec._mb_qp is the decoder's live per-MB QP map of the LAST frame:
+    # it must show more than one QP inside the single slice — i.e.
+    # nonzero mb_qp_delta was emitted and decoded
+    assert int(dec._mb_qp.max() - dec._mb_qp.min()) > 0
